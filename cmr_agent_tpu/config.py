@@ -1,0 +1,218 @@
+"""Frozen configuration dataclasses.
+
+Capability parity with the reference's attribute-bag configs
+(/root/reference/config/KittiConfig.py:8-118 and NuScenesConfig.py:8-117),
+redesigned the TPU way:
+
+* immutable ``dataclass(frozen=True)`` — hashable, usable as a static jit arg;
+* **no device tensors at import time** (the reference builds CUDA tensors in
+  its config constructor, KittiConfig.py:107-108) — discrete action step
+  tables are plain tuples here and materialised as ``jnp`` arrays on demand;
+* every shape the model needs is *derived* here once (the reference hardcodes
+  40x128 / 5120 in several places, e.g. MultiHeadModel.py:340,
+  IMGPCEnDecoder.py:56, IterModel.py:317) so NuScenes (40x80) works
+  end-to-end without edits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import numpy as np
+
+# Discrete agent action tables (reference: config/KittiConfig.py:105-106).
+_R_STEPS_DEG = (-62.5, -12.5, -2.5, -0.5, -0.1, 0.0, 0.1, 0.5, 2.5, 12.5, 62.5)
+_T_STEPS = (-8.1, -2.7, -0.9, -0.3, -0.1, 0.0, 0.1, 0.3, 0.9, 2.7, 8.1)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Shared model / train / agent configuration.
+
+    Defaults mirror the KITTI configuration of the reference.
+    """
+
+    name: str = "kitti"
+
+    # <----------- dataset ---------->
+    dataset_root: str = ""
+    data_velodyne: str = "data_odometry_velodyne_NWU/"
+    data_color: str = "data_odometry_color_npy/"
+    num_pt: int = 40960
+    p_tx_amplitude: float = 10.0
+    p_ty_amplitude: float = 0.0
+    p_tz_amplitude: float = 10.0
+    p_rx_amplitude: float = 0.0
+    p_ry_amplitude: float = math.pi
+    p_rz_amplitude: float = 0.0
+    cropped_img_h: int = 160
+    cropped_img_w: int = 512
+
+    # <----------- train / eval ---------->
+    seed: int = 2023
+    train_batch_size: int = 8
+    val_batch_size: int = 8
+    val_interval: int = 500
+    epoch: int = 64
+    lr: float = 1e-3
+    num_workers: int = 12
+    optimizer: str = "ADAM"  # "SGD" or "ADAM"
+    momentum: float = 0.98
+    weight_decay: float = 1e-6
+    lr_scheduler: str = "StepLR"
+    scheduler_gamma: float = 0.6
+    step_size: int = 4
+    logdir: str = "log/"
+    ckpt_dir: str = "checkpoint/"
+    grad_clip_value: float = 1.0
+
+    # <----------- image branch ---------->
+    patch_size: int = 8
+    embed_dim: int = 64
+    mlp_dim: int = 1024
+    embed_dropout: float = 0.1
+    mlp_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    num_sa_layer: int = 3
+    num_head: int = 8
+
+    # <----------- point branch ---------->
+    point_feat_dim: int = 3
+    num_node: int = 1280
+    num_proxy: int = 256
+    knn_k: int = 16
+
+    # <----------- coarse cross-modal ---------->
+    num_ca_layer_coarse: int = 6
+
+    # <----------- fine fusion ---------->
+    pt_sample_num: int = 65
+    circle_loss_num: int = 512
+    img_fuse_res_num: int = 2
+    node_fuse_res_num: int = 2
+    pt_head_res_num: int = 3
+    linear_attention_num: int = 4
+    la_head_num: int = 8
+
+    # <----------- agent / RL ---------->
+    is_6_dof: bool = False
+    action_num: int = 10
+    r_steps_deg: Tuple[float, ...] = _R_STEPS_DEG
+    t_steps: Tuple[float, ...] = _T_STEPS
+    num_trajectory: int = 4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    alpha: float = 1.0
+    clip_eps: float = 0.2
+    w_value: float = 0.3
+    w_entropy: float = 1e-3
+    ppo_batch_size: int = 10
+
+    # <----------- cost-volume (IterModel) ---------->
+    nlabel: int = 9
+
+    # <----------- TPU-specific knobs (no reference analog) ---------->
+    compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    use_pallas: bool = True  # use fused Pallas kernels where available
+
+    # <----------- derived geometry ---------->
+    @property
+    def image_h(self) -> int:
+        """Fused feature-map height (1/4 of the cropped image)."""
+        return int(self.cropped_img_h * 0.25)
+
+    @property
+    def image_w(self) -> int:
+        """Fused feature-map width (1/4 of the cropped image)."""
+        return int(self.cropped_img_w * 0.25)
+
+    @property
+    def h_proxy(self) -> int:
+        return self.image_h // self.patch_size
+
+    @property
+    def w_proxy(self) -> int:
+        return self.image_w // self.patch_size
+
+    @property
+    def num_img_proxy(self) -> int:
+        return self.h_proxy * self.w_proxy
+
+    @property
+    def num_pixel(self) -> int:
+        """Number of fused pixels (reference hardcodes 5120 for KITTI)."""
+        return self.image_h * self.image_w
+
+    @property
+    def num_steps(self) -> int:
+        return len(self.r_steps_deg)
+
+    @property
+    def degree_r(self) -> int:
+        return 3 if self.is_6_dof else 1
+
+    @property
+    def degree_t(self) -> int:
+        return 3 if self.is_6_dof else 2
+
+    # <----------- action tables as arrays (built on demand) ---------->
+    def r_steps_array(self) -> np.ndarray:
+        return np.asarray(self.r_steps_deg, dtype=np.float32) * math.pi / 180.0
+
+    def t_steps_array(self) -> np.ndarray:
+        return np.asarray(self.t_steps, dtype=np.float32)
+
+
+def kitti_config(data_root: str = "", **overrides) -> Config:
+    """KITTI configuration (reference: config/KittiConfig.py)."""
+    return Config(name="kitti", dataset_root=data_root, **overrides)
+
+
+def nuscenes_config(data_root: str = "", **overrides) -> Config:
+    """NuScenes configuration (reference: config/NuScenesConfig.py).
+
+    Differences from KITTI (NuScenesConfig.py:23-49): narrower crop (320 px
+    wide -> 40x80 fused map), val every 1000 steps, 30 epochs, StepLR step 2,
+    16 loader workers, cost-volume nlabel 8 (NuScenesDataset.py:72).
+    """
+    defaults = dict(
+        name="nuscenes",
+        dataset_root=data_root,
+        cropped_img_w=320,
+        val_interval=1000,
+        epoch=30,
+        step_size=2,
+        num_workers=16,
+        nlabel=8,
+    )
+    defaults.update(overrides)
+    return Config(**defaults)
+
+
+def tiny_config(**overrides) -> Config:
+    """A miniature config for tests / multi-chip dry runs.
+
+    Keeps every architectural ratio of the KITTI config (patchify 8x,
+    node->proxy 5x, pixel hierarchy 4x) at 1/8 the token counts so that a
+    full forward/backward compiles in seconds on a CPU mesh.
+    """
+    defaults = dict(
+        name="tiny",
+        num_pt=2048,
+        num_node=160,
+        num_proxy=32,
+        cropped_img_h=64,
+        cropped_img_w=128,
+        circle_loss_num=64,
+        knn_k=8,
+        num_sa_layer=1,
+        num_ca_layer_coarse=2,
+        linear_attention_num=2,
+        mlp_dim=128,
+        train_batch_size=2,
+        val_batch_size=2,
+    )
+    defaults.update(overrides)
+    return Config(**defaults)

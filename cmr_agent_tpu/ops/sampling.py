@@ -1,0 +1,160 @@
+"""Point sampling / grouping ops.
+
+Device-side replacements for the reference's host loops and native deps:
+
+* numpy FPS loop (dataset/KittiDataset.py:107-126) and GPU-python FPS
+  (models/pointnet_util.py:50-70)  -> ``farthest_point_sample`` (lax.fori_loop
+  min-distance update — the same algorithm, vectorised).
+* scipy cKDTree 1-NN point->node assignment (dataset/KittiDataset.py:363-367)
+  -> ``nearest_assign`` (tiled brute force on the MXU via the
+  |a-b|^2 = |a|^2+|b|^2-2ab expansion).
+* dense knn + argsort (models/PointNN.py:215-217) -> ``knn_indices``
+  (lax.top_k on negative distances).
+* PointNet++ ``query_ball_point`` (models/pointnet_util.py:73-93).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise squared euclidean distance ``[..., N, C] x [..., M, C] -> [..., N, M]``.
+
+    Uses the matmul expansion (reference models/pointnet_util.py:19-33) so the
+    N*M*C contraction rides the MXU.
+    """
+    d = -2.0 * jnp.einsum("...nc,...mc->...nm", src, dst)
+    d = d + jnp.sum(src**2, axis=-1)[..., :, None]
+    d = d + jnp.sum(dst**2, axis=-1)[..., None, :]
+    return d
+
+
+def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched gather: ``points [B, N, C]``, ``idx [B, ...]`` -> ``[B, ..., C]``.
+
+    Equivalent of reference models/pointnet_util.py:36-47.
+    """
+    b = points.shape[0]
+    flat = idx.reshape(b, -1)
+    out = jnp.take_along_axis(points, flat[..., None], axis=1)
+    return out.reshape(idx.shape + (points.shape[-1],))
+
+
+def knn_indices(xyz: jnp.ndarray, query: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k nearest neighbours of ``query`` in ``xyz``: ``[..., M, k]`` indices.
+
+    top-k over negated squared distances — ties may order differently than
+    the reference's full argsort (models/PointNN.py:216), which is
+    numerically irrelevant for attention over the neighbourhood.
+    """
+    d = square_distance(query, xyz)
+    _, idx = jax.lax.top_k(-d, k)
+    return idx
+
+
+def nearest_assign(points: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:
+    """1-NN assignment ``[..., N, 3] x [..., M, 3] -> [..., N]`` int32.
+
+    Device replacement for the host cKDTree query
+    (dataset/KittiDataset.py:363-367): for N=40960, M=1280 the distance
+    matrix is a single 40960x1280 MXU contraction.
+    """
+    d = square_distance(points, centers)
+    return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("num_samples",))
+def _fps_single(pts: jnp.ndarray, init_idx: jnp.ndarray, num_samples: int):
+    """FPS on one cloud ``[N, 3]`` starting from ``init_idx``; returns idx [S]."""
+    n = pts.shape[0]
+
+    def dist_to(i):
+        return jnp.sum((pts - pts[i]) ** 2, axis=-1)
+
+    def body(i, state):
+        dists, idxs = state
+        far = jnp.argmax(dists).astype(jnp.int32)
+        idxs = idxs.at[i].set(far)
+        dists = jnp.minimum(dists, dist_to(far))
+        return dists, idxs
+
+    idxs = jnp.zeros((num_samples,), dtype=jnp.int32).at[0].set(init_idx)
+    dists = dist_to(init_idx)
+    _, idxs = jax.lax.fori_loop(1, num_samples, body, (dists, idxs))
+    return idxs
+
+
+def farthest_point_sample(pts: jnp.ndarray, num_samples: int,
+                          key: jax.Array | None = None,
+                          init_idx: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Farthest-point sampling indices.
+
+    Args:
+      pts: ``[B, N, 3]`` (or ``[N, 3]``) coordinates.
+      num_samples: static sample count.
+      key: PRNG key for the random initial point (reference seeds from
+        ``np.random.randint``, dataset/KittiDataset.py:117). If None and no
+        ``init_idx`` given, starts from index 0 (deterministic).
+      init_idx: optional explicit initial index (``[B]`` or scalar).
+
+    Returns:
+      int32 indices ``[B, num_samples]`` (or ``[num_samples]``).
+    """
+    single = pts.ndim == 2
+    if single:
+        pts = pts[None]
+    b, n = pts.shape[0], pts.shape[1]
+    if init_idx is None:
+        if key is not None:
+            init_idx = jax.random.randint(key, (b,), 0, n, dtype=jnp.int32)
+        else:
+            init_idx = jnp.zeros((b,), dtype=jnp.int32)
+    else:
+        init_idx = jnp.broadcast_to(jnp.asarray(init_idx, jnp.int32), (b,))
+    idx = jax.vmap(_fps_single, in_axes=(0, 0, None))(pts, init_idx, num_samples)
+    return idx[0] if single else idx
+
+
+def query_ball_point(radius: float, nsample: int, xyz: jnp.ndarray,
+                     new_xyz: jnp.ndarray) -> jnp.ndarray:
+    """Ball query: indices of up to ``nsample`` points within ``radius``.
+
+    Matches the reference semantics (models/pointnet_util.py:73-93): points
+    outside the radius get the group's *first* in-radius index (padding with
+    the first column), preserving the sorted-by-index order torch produces.
+
+    Args:
+      xyz:     ``[B, N, 3]`` points.
+      new_xyz: ``[B, S, 3]`` query centres.
+    Returns:
+      ``[B, S, nsample]`` int32.
+    """
+    b, n, _ = xyz.shape
+    s = new_xyz.shape[1]
+    d = square_distance(new_xyz, xyz)  # [B, S, N]
+    arange = jax.lax.broadcasted_iota(jnp.int32, (b, s, n), 2)
+    group_idx = jnp.where(d > radius**2, n, arange)
+    group_idx = jnp.sort(group_idx, axis=-1)[:, :, :nsample]
+    first = jnp.broadcast_to(group_idx[:, :, :1], group_idx.shape)
+    group_idx = jnp.where(group_idx == n, first, group_idx)
+    return group_idx.astype(jnp.int32)
+
+
+def random_downsample_indices(key: jax.Array, n_in: int, n_out: int) -> jnp.ndarray:
+    """Indices downsampling/padding a cloud to exactly ``n_out`` points.
+
+    Mirrors the reference policy (dataset/KittiDataset.py:182-196): sample
+    without replacement when enough points; otherwise repeat all points
+    whole, then top up with random extras.
+    """
+    if n_in >= n_out:
+        return jax.random.permutation(key, n_in)[:n_out]
+    reps = n_out // n_in
+    fixed = jnp.tile(jnp.arange(n_in), reps)[: (n_out // n_in) * n_in]
+    remainder = n_out - fixed.shape[0]
+    extra = jax.random.permutation(key, n_in)[:remainder]
+    return jnp.concatenate([fixed, extra], axis=0)

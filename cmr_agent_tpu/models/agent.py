@@ -1,0 +1,122 @@
+"""CMRAgent: the actor-critic refinement policy.
+
+Capability of reference models/CMRAgent.py:17-144. The 3-D state branch is
+a 4-stage pointwise-residual PointNet with global-max re-broadcast between
+stages; the 2-D branch is a 5-stage conv/avg-pool CNN; both collapse to
+128-d embeddings, concatenated into the 256-d state from which three MLPs
+predict rotation logits, translation logits and the state value.
+
+Layouts: state_2d is NHWC ``[B, H, W, 2F]``; state_3d is ``[B, N, 5]``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import Config
+from .layers import ResDenseBlock, BatchNorm, torch_kernel_init
+
+
+def _avg_pool(x, window):
+    return nn.avg_pool(x, window, strides=window, padding="VALID")
+
+
+class CMRAgent(nn.Module):
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, state_2d, state_3d, train: bool = False):
+        cfg = self.cfg
+        f = cfg.embed_dim
+
+        # <-- 3-D branch: ConvBNReLURes1D stack with max-pool re-broadcast
+        #     (CMRAgent.py:25-29, 92-101) -->
+        dims = [f, f, f, 2 * f]
+        embed = state_3d
+        n = state_3d.shape[1]
+        for i, d in enumerate(dims):
+            feat = ResDenseBlock(d, name=f"state3d_{i}")(embed, train)
+            pooled = jnp.max(feat, axis=1, keepdims=True)        # [B, 1, d]
+            if i < len(dims) - 1:
+                embed = jnp.concatenate(
+                    [feat, jnp.broadcast_to(pooled, feat.shape)], axis=-1)
+            else:
+                embed = pooled
+        embed_3d = embed.reshape(embed.shape[0], -1)             # [B, 2f]
+
+        # <-- 2-D branch: conv/avg-pool pyramid (CMRAgent.py:31-60) -->
+        # Default-slope (0.01) LeakyReLU, matching torch nn.LeakyReLU().
+        lrelu = lambda x: nn.leaky_relu(x, negative_slope=0.01)
+        conv = lambda d, name: nn.Conv(d, (3, 3), padding=1,
+                                       kernel_init=torch_kernel_init, name=name)
+        x = state_2d
+        for s in range(3):
+            x = conv(2 * f, f"conv{s}_0")(x)
+            x = BatchNorm(name=f"bn{s}")(x, train)
+            x = lrelu(x)
+            x = conv(2 * f, f"conv{s}_1")(x)
+            x = lrelu(x)
+            x = _avg_pool(x, (2, 2))
+        x = conv(2 * f, "conv3_0")(x)
+        x = BatchNorm(name="bn3")(x, train)
+        x = lrelu(x)
+        x = conv(2 * f, "conv3_1")(x)
+        x = lrelu(x)
+        x = jnp.mean(x, axis=(1, 2), keepdims=True)              # AvgPool(H/8,W/8)
+        x = nn.Conv(2 * f, (1, 1), kernel_init=torch_kernel_init,
+                    name="conv4_0")(x)
+        x = lrelu(x)
+        x = nn.Conv(2 * f, (1, 1), kernel_init=torch_kernel_init,
+                    name="conv4_1")(x)
+        embed_2d = x.reshape(x.shape[0], -1)                     # [B, 2f]
+
+        state = jnp.concatenate([embed_2d, embed_3d], axis=-1)   # [B, 4f]
+
+        def mlp_head(widths, out_dim, name):
+            h = state
+            for i, wdt in enumerate(widths):
+                h = nn.Dense(wdt, kernel_init=torch_kernel_init,
+                             name=f"{name}_{i}")(h)
+                h = lrelu(h)
+            return nn.Dense(out_dim, kernel_init=torch_kernel_init,
+                            name=f"{name}_out")(h)
+
+        r_logits = mlp_head([4 * f, 4 * f], cfg.degree_r * cfg.num_steps,
+                            "policy_r")
+        t_logits = mlp_head([4 * f, 4 * f], cfg.degree_t * cfg.num_steps,
+                            "policy_t")
+        value = mlp_head([f, f], 1, "value")
+
+        b = state.shape[0]
+        r_logits = r_logits.reshape(b, cfg.degree_r, cfg.num_steps)
+        t_logits = t_logits.reshape(b, cfg.degree_t, cfg.num_steps)
+        return r_logits, t_logits, value[:, :, None]             # [B,1,1]
+
+
+def action_from_logits(r_logits, t_logits, key=None, deterministic=False):
+    """Sample (or argmax) discrete actions (CMRAgent.py:117-127)."""
+    if deterministic:
+        return jnp.argmax(r_logits, axis=-1), jnp.argmax(t_logits, axis=-1)
+    kr, kt = jax.random.split(key)
+    action_r = jax.random.categorical(kr, r_logits, axis=-1)
+    action_t = jax.random.categorical(kt, t_logits, axis=-1)
+    return action_r, action_t
+
+
+def action_logprob_and_entropy(r_logits, t_logits, action_r, action_t):
+    """Log-prob + entropy of chosen actions (CMRAgent.py:129-144).
+
+    Returns ``(logprob [B, dr+dt], entropy [B, dr+dt])``.
+    """
+    def lp_ent(logits, action):
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        picked = jnp.take_along_axis(logp, action[..., None], axis=-1)[..., 0]
+        ent = -jnp.sum(jnp.exp(logp) * logp, axis=-1)
+        return picked, ent
+
+    lp_r, ent_r = lp_ent(r_logits, action_r)
+    lp_t, ent_t = lp_ent(t_logits, action_t)
+    return (jnp.concatenate([lp_r, lp_t], axis=-1),
+            jnp.concatenate([ent_r, ent_t], axis=-1))

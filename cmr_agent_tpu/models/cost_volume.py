@@ -1,0 +1,221 @@
+"""IterModel: pose-hypothesis cost volume scored by convolutions.
+
+Capability of reference models/IterModel.py:24-475: build an
+``nlabel^3`` grid of (ry, tx, tz) pose hypotheses, warp the cloud's metric
+features into the image under every hypothesis, stack
+[image features | warped point features | occupancy | image overlap] and
+score each hypothesis; decode by per-axis marginal argmax and compose the
+accumulated pose.
+
+TPU redesign:
+
+* the reference's boolean ``pc[:, mask]`` select + 200-pose python chunk
+  loop (IterModel.py:301-345) becomes a static-shape masked scatter under
+  ``lax.map`` pose chunks;
+* every Conv3d in the scoring tower has a (1, 3, 3) kernel and (1, 2, 2)
+  pool, i.e. it never mixes hypotheses — so the tower runs as 2-D convs
+  with poses folded into the batch axis (identical math, better XLA
+  tiling);
+* the hardcoded 5120/40x128 pixel grid (IterModel.py:317,350-351,373) is
+  derived from the config.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import Config
+from ..ops.geometry import (angle2matrix_sxyz, make_se3, se3_inverse,
+                            transform_points)
+from ..ops.losses import softmax_cross_entropy
+from ..ops.scatter import segment_sum
+from .layers import BatchNorm, torch_kernel_init
+
+
+def sample_pose_grid(r_amplitude, t_amplitude, nlabel: int):
+    """Pose hypothesis grid (reference IterModel.py:132-172).
+
+    Returns ``(delta_rt_inv [B, nlabel^3, 4, 4], delta_r [B, nlabel],
+    delta_t [B, nlabel])`` where the flat hypothesis order is
+    (ry, tx, tz) row-major, matching the reference's view(-1) layout.
+    """
+    base = jnp.arange(-(nlabel - 1) // 2, (nlabel - 1) // 2 + 1,
+                      dtype=jnp.float32)                      # [n]
+    delta_r = (2.0 * r_amplitude[:, None] / (nlabel - 1)) * base  # [B, n]
+    delta_t = (2.0 * t_amplitude[:, None] / (nlabel - 1)) * base  # [B, n]
+
+    b = r_amplitude.shape[0]
+    zeros = jnp.zeros_like(delta_r)
+    eul = jnp.stack([zeros, delta_r, zeros], axis=-1)         # [B, n, 3]
+    R = angle2matrix_sxyz(eul)                                # [B, n, 3, 3]
+
+    tx = delta_t[:, :, None, None]                            # [B, n, 1, 1]
+    tz = delta_t[:, None, :, None]                            # [B, 1, n, 1]
+    n = nlabel
+    tx = jnp.broadcast_to(tx, (b, n, n, 1))
+    tz = jnp.broadcast_to(tz, (b, n, n, 1))
+    ty = jnp.zeros_like(tx)
+    T = jnp.concatenate([tx, ty, tz], axis=-1)                # [B, n, n, 3]
+
+    R_grid = jnp.broadcast_to(R[:, :, None, None], (b, n, n, n, 3, 3))
+    T_grid = jnp.broadcast_to(T[:, None], (b, n, n, n, 3))
+    rt = make_se3(R_grid, T_grid).reshape(b, n**3, 4, 4)
+    return se3_inverse(rt), delta_r, delta_t
+
+
+class IterModel(nn.Module):
+    cfg: Config
+    pose_chunk: int = 27  # lax.map chunk bounding the scatter working set
+
+    @nn.compact
+    def __call__(self, state, train: bool = False, with_loss: bool = True):
+        """Score the hypothesis grid and update the accumulated pose.
+
+        Args:
+          state: dict with ``pc_i [B,N,3]``, ``K [B,3,3]``,
+            ``pc_geo_feat [B,N,F]``, ``img_geo_feat [B,H,W,F]``,
+            ``pc_overlap_pred [B,N]`` (+``_standby``),
+            ``pc_is_in_cam_scores [B,N]``, ``img_overlap_pred [B,H,W]``,
+            ``matrix_accumulated [B,4,4]``, ``R_amplitude [B]``,
+            ``T_amplitude [B]`` and (for the loss) ``label_R/label_T_x/
+            label_T_z [B, nlabel]``.
+        Returns dict with logits, loss, the per-step pose ``matrix_i``, the
+        updated ``matrix_accumulated`` and re-transformed ``pc_i``.
+        """
+        cfg = self.cfg
+        nl = cfg.nlabel
+        h, w = cfg.image_h, cfg.image_w
+        f = cfg.embed_dim
+        npix = h * w
+
+        pc = state["pc_i"]
+        b, n_pts = pc.shape[0], pc.shape[1]
+
+        # Fall back to the standby (p>0.8) mask when the p>0.5 mask is empty
+        # (reference IterModel.py:272-274), without dynamic shapes.
+        primary = state["pc_overlap_pred"]
+        standby = state.get("pc_overlap_pred_standby", primary)
+        has_primary = jnp.any(primary, axis=1, keepdims=True)
+        mask = jnp.where(has_primary, primary, standby)        # [B, N]
+
+        poses, delta_r, delta_t = sample_pose_grid(
+            state["R_amplitude"], state["T_amplitude"], nl)
+        n_pose = nl**3
+
+        K = state["K"]
+        feat = state["pc_geo_feat"]
+        scores = state["pc_is_in_cam_scores"]
+
+        def warp_chunk(pose_chunk):
+            """pose_chunk [B, C, 4, 4] -> (mean feat [B,C,npix,F], occ [B,C,npix])."""
+            R = pose_chunk[..., :3, :3]
+            t = pose_chunk[..., :3, 3]
+            pc_w = (jnp.einsum("bcij,bnj->bcni", R, pc) + t[:, :, None, :])
+            proj = jnp.einsum("bij,bcnj->bcni", K, pc_w)
+            z = proj[..., 2]
+            xy = proj[..., :2] / jnp.where(jnp.abs(z[..., None]) < 1e-10,
+                                           1e-10, z[..., None])
+            in_cam = ((xy[..., 0] >= 0) & (xy[..., 0] <= w - 1)
+                      & (xy[..., 1] >= 0) & (xy[..., 1] <= h - 1) & (z > 0))
+            valid = in_cam & mask[:, None, :]
+            xi = jnp.round(xy[..., 0]).astype(jnp.int32)
+            yi = jnp.round(xy[..., 1]).astype(jnp.int32)
+            ids = jnp.where(valid, yi * w + xi, npix)          # pad bucket
+
+            # vmap over batch (usually 1) and poses in the chunk.
+            def per_b(ids_b, valid_b, feat_b, scores_b):
+                def one_pose(args):
+                    ids_i, valid_i = args
+                    vf = valid_i.astype(feat_b.dtype)
+                    fsum = segment_sum(feat_b * vf[:, None], ids_i, npix + 1)
+                    cnt = segment_sum(vf, ids_i, npix + 1, via="scatter")
+                    fmean = fsum / jnp.maximum(cnt[:, None], 1.0)
+                    occ = segment_sum(scores_b * vf, ids_i, npix + 1,
+                                      via="scatter")
+                    return fmean[:npix], occ[:npix]
+                return jax.vmap(lambda i, v: one_pose((i, v)))(ids_b, valid_b)
+
+            return jax.vmap(per_b)(ids, valid, feat, scores)
+
+        n_chunk = max(1, self.pose_chunk)
+        assert n_pose % n_chunk == 0 or n_chunk >= n_pose, (
+            "pose_chunk must divide nlabel^3")
+        if n_chunk >= n_pose:
+            warped_feat, occupancy = warp_chunk(poses)
+        else:
+            chunks = poses.reshape(b, n_pose // n_chunk, n_chunk, 4, 4)
+            chunks = jnp.swapaxes(chunks, 0, 1)  # [n_chunks, B, C, 4, 4]
+            warped_feat, occupancy = jax.lax.map(warp_chunk, chunks)
+            warped_feat = jnp.swapaxes(warped_feat, 0, 1).reshape(
+                b, n_pose, npix, f)
+            occupancy = jnp.swapaxes(occupancy, 0, 1).reshape(b, n_pose, npix)
+
+        warped_feat = warped_feat.reshape(b, n_pose, h, w, f)
+        occupancy = occupancy.reshape(b, n_pose, h, w, 1)
+
+        img_geo = jnp.broadcast_to(state["img_geo_feat"][:, None],
+                                   (b, n_pose, h, w, f))
+        img_overlap = jnp.broadcast_to(
+            state["img_overlap_pred"][:, None, :, :, None],
+            (b, n_pose, h, w, 1))
+        vol = jnp.concatenate([img_geo, warped_feat, occupancy, img_overlap],
+                              axis=-1)                          # [B,P,H,W,2F+2]
+
+        # <-- scoring tower: poses fold into batch; all (1,3,3) convs -->
+        x = vol.reshape(b * n_pose, h, w, 2 * f + 2)
+        lrelu = lambda v: nn.leaky_relu(v, negative_slope=0.01)
+        widths = [(f, f), (f // 2, f // 2), (f // 4, f // 4), (f // 4, f // 8)]
+        for si, (w0, w1) in enumerate(widths):
+            x = nn.Conv(w0, (3, 3), padding=1, kernel_init=torch_kernel_init,
+                        name=f"cv_conv{si}_0")(x)
+            x = BatchNorm(name=f"cv_bn{si}")(x, train)
+            x = lrelu(x)
+            x = nn.Conv(w1, (3, 3), padding=1, kernel_init=torch_kernel_init,
+                        name=f"cv_conv{si}_1")(x)
+            x = lrelu(x)
+            if si < 3:
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2), padding="VALID")
+            else:
+                x = jnp.mean(x, axis=(1, 2), keepdims=True)  # global avg pool
+        x = nn.Conv(f // 16, (1, 1), kernel_init=torch_kernel_init,
+                    name="cv_head_0")(x)
+        x = lrelu(x)
+        x = nn.Conv(1, (1, 1), kernel_init=torch_kernel_init,
+                    name="cv_head_1")(x)
+        logits = x.reshape(b, n_pose)
+
+        out = {"cost_volume_logits": logits}
+
+        if with_loss and "label_R" in state:
+            label_r = state["label_R"].astype(jnp.float32)      # [B, n]
+            label_tx = state["label_T_x"].astype(jnp.float32)
+            label_tz = state["label_T_z"].astype(jnp.float32)
+            label = (label_r[:, :, None, None]
+                     * label_tx[:, None, :, None]
+                     * label_tz[:, None, None, :]).reshape(b, -1)
+            out["cost_volume_label"] = label
+            out["cost_volume_loss"] = softmax_cross_entropy(
+                logits, jnp.argmax(label, axis=-1))
+
+        # <-- decode: per-axis marginal argmax (IterModel.py:443-456) -->
+        pred = jax.nn.softmax(logits, axis=-1).reshape(b, nl, nl, nl)
+        p_ry = pred.sum(axis=(2, 3))
+        p_tx = pred.sum(axis=(1, 3))
+        p_tz = pred.sum(axis=(1, 2))
+        ry = jnp.take_along_axis(delta_r, jnp.argmax(p_ry, -1)[:, None], 1)[:, 0]
+        tx = jnp.take_along_axis(delta_t, jnp.argmax(p_tx, -1)[:, None], 1)[:, 0]
+        tz = jnp.take_along_axis(delta_t, jnp.argmax(p_tz, -1)[:, None], 1)[:, 0]
+
+        zero = jnp.zeros_like(ry)
+        eul = jnp.stack([zero, ry, zero], axis=-1)
+        t_vec = jnp.stack([tx, zero, tz], axis=-1)
+        matrix_i = se3_inverse(make_se3(angle2matrix_sxyz(eul), t_vec))
+
+        out["pred_ry"], out["pred_tx"], out["pred_tz"] = ry, tx, tz
+        out["matrix_i"] = matrix_i
+        out["matrix_accumulated"] = matrix_i @ state["matrix_accumulated"]
+        out["pc_i"] = transform_points(pc, matrix_i[:, :3, :3],
+                                       matrix_i[:, :3, 3])
+        return out

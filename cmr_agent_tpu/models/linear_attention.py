@@ -1,0 +1,60 @@
+"""LoFTR-style linear attention (O(N) in tokens).
+
+Capability of reference models/LinearAttention.py:8-73: elu(x)+1 feature
+map, KV outer-product accumulation, per-query normaliser, concat-FFN with
+residual. This is the fine-fusion workhorse between 5120 pixels and 1280
+nodes (IMGPCEnDecoder.py:101-110) — the two einsums are plain MXU
+contractions, so XLA already runs this at near roofline; a fused Pallas
+variant hooks in via ``cmr_agent_tpu.ops.pallas_kernels``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import torch_kernel_init
+
+
+class LinearAttention(nn.Module):
+    """``x`` [B, L, C] attends to ``y`` [B, S, C] in O(L + S)."""
+
+    num_heads: int
+    eps: float = 1e-6
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, y, train: bool):
+        d = x.shape[-1]
+        head_dim = d // self.num_heads
+        b, l, _ = x.shape
+        s = y.shape[1]
+
+        proj = lambda name: nn.Dense(d, use_bias=False,
+                                     kernel_init=torch_kernel_init, name=name)
+        q = proj("q_proj")(x).reshape(b, l, self.num_heads, head_dim)
+        k = proj("k_proj")(y).reshape(b, s, self.num_heads, head_dim)
+        v = proj("v_proj")(y).reshape(b, s, self.num_heads, head_dim)
+
+        q = nn.elu(q) + 1.0
+        k = nn.elu(k) + 1.0
+
+        v = v / s  # overflow guard (reference LinearAttention.py:57)
+        kv = jnp.einsum("bshd,bshv->bhdv", k, v)
+        z = 1.0 / (jnp.einsum("blhd,bhd->blh", q, k.sum(axis=1)) + self.eps)
+        msg = jnp.einsum("blhd,bhdv,blh->blhv", q, kv, z) * s
+
+        msg = proj("merge")(msg.reshape(b, l, d))
+        msg = nn.LayerNorm(name="norm1")(msg)
+        msg = nn.Dropout(self.dropout, deterministic=not train)(msg)
+
+        h = jnp.concatenate([x, msg], axis=-1)
+        h = nn.Dense(2 * d, use_bias=False, kernel_init=torch_kernel_init,
+                     name="mlp_0")(h)
+        h = nn.relu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Dense(d, use_bias=False, kernel_init=torch_kernel_init,
+                     name="mlp_1")(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.LayerNorm(name="norm2")(h)
+        return x + h

@@ -1,0 +1,160 @@
+"""Point branch: grouped/knn point transformers + proxy ViT.
+
+Capability of reference models/PointNN.py:126-232 (GroupPointTransformer,
+KnnPointTransformer) and models/PointViT.py:8-205 (hierarchical embeddings:
+40960 points -> 1280 nodes -> 256 proxies, then self-attention).
+
+TPU design: the reference's torch_scatter group softmax becomes the fused
+:func:`cmr_agent_tpu.ops.segment_softmax_attend`; the dense 1280x1280 knn
+uses a single MXU distance contraction + top_k.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import Config
+from ..ops.scatter import batched_segment_softmax_attend
+from ..ops.sampling import index_points, knn_indices
+from .layers import MiniPointNet, ViTBlock, torch_kernel_init
+
+
+def _dense(features, name, use_bias=True):
+    return nn.Dense(features, use_bias=use_bias,
+                    kernel_init=torch_kernel_init, name=name)
+
+
+class GroupPointTransformer(nn.Module):
+    """Point-transformer attention from N points into their assigned node.
+
+    The segmented-softmax attention of the reference
+    (models/PointNN.py:126-185): each point attends within its node group
+    (relative-position encoded), and groups aggregate with a per-group,
+    per-channel softmax.
+
+    Inputs (channels-last):
+      xyz [B,N,3], x_feat [B,N,F], node [B,M,3], node_feat [B,M,F], idx [B,N].
+    Returns updated node features [B,M,F].
+    """
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self, xyz, x_feat, node, node_feat, idx):
+        f = self.d_model
+        m = node.shape[1]
+        pre = node_feat
+
+        x = _dense(f, "fc1_points")(x_feat)
+        xx = _dense(f, "fc1_nodes")(node_feat)
+        q = _dense(f, "w_q", use_bias=False)(xx)      # [B, M, F]
+        k = _dense(f, "w_k", use_bias=False)(x)       # [B, N, F]
+        v = _dense(f, "w_v", use_bias=False)(x)       # [B, N, F]
+
+        q_at_pt = index_points(q, idx)                # [B, N, F]
+        centers = index_points(node, idx)             # [B, N, 3]
+
+        delta = xyz - centers
+        pos = _dense(f, "fc_delta_0")(delta)
+        pos = nn.relu(pos)
+        pos = _dense(f, "fc_delta_1")(pos)
+
+        attn = q_at_pt - k + pos
+        attn = _dense(f, "fc_gamma_0")(attn)
+        attn = nn.relu(attn)
+        attn = _dense(f, "fc_gamma_1")(attn)
+        attn = attn / jnp.sqrt(jnp.asarray(f, attn.dtype))
+
+        agg = batched_segment_softmax_attend(attn, v + pos, idx, m)
+        return _dense(f, "fc2")(agg) + pre
+
+
+class KnnPointTransformer(nn.Module):
+    """Vector attention over k nearest neighbours (PointNN.py:188-232)."""
+
+    d_model: int
+    k: int = 16
+
+    @nn.compact
+    def __call__(self, xyz, feat):
+        f = self.d_model
+        knn_idx = knn_indices(xyz, xyz, self.k)       # [B, M, k]
+        knn_xyz = index_points(xyz, knn_idx)          # [B, M, k, 3]
+
+        pre = feat
+        x = _dense(f, "fc1")(feat)
+        q = _dense(f, "w_q", use_bias=False)(x)
+        k = index_points(_dense(f, "w_k", use_bias=False)(x), knn_idx)
+        v = index_points(_dense(f, "w_v", use_bias=False)(x), knn_idx)
+
+        delta = xyz[:, :, None, :] - knn_xyz
+        pos = _dense(f, "fc_delta_0")(delta)
+        pos = nn.relu(pos)
+        pos = _dense(f, "fc_delta_1")(pos)
+
+        attn = q[:, :, None, :] - k + pos
+        attn = _dense(f, "fc_gamma_0")(attn)
+        attn = nn.relu(attn)
+        attn = _dense(f, "fc_gamma_1")(attn)
+        attn = nn.softmax(attn / jnp.sqrt(jnp.asarray(f, attn.dtype)), axis=-2)
+
+        res = jnp.sum(attn * (v + pos), axis=-2)      # [B, M, F]
+        return _dense(f, "fc2")(res) + pre
+
+
+class PointTransformer(nn.Module):
+    """Hierarchical point encoder (reference models/PointViT.py:8-205).
+
+    points --group-attend--> nodes --knn-attend--> nodes --group-attend-->
+    proxies (the first ``num_proxy`` FPS-ordered nodes) --> SA blocks.
+
+    Returns ``(proxy_feat [B,P,F], node2proxy [B,M], pt_feat [B,N,F],
+    node_feat [B,M,F])``.
+    """
+
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, pc, node, pt2node, train: bool):
+        cfg = self.cfg
+        f = cfg.embed_dim
+
+        raw_mlp = MiniPointNet(f, name="raw_point_mlp")
+        x_feat = raw_mlp(pc, train)
+        node_feat = raw_mlp(node, train)
+
+        node_feat = GroupPointTransformer(f, name="group_0")(
+            pc, x_feat, node, node_feat, pt2node)
+        back = index_points(node_feat, pt2node)
+        x_feat = MiniPointNet(f, name="point_mlp_0")(
+            jnp.concatenate([x_feat, back], axis=-1), train)
+
+        node_feat = GroupPointTransformer(f, name="group_1")(
+            pc, x_feat, node, node_feat, pt2node)
+        back = index_points(node_feat, pt2node)
+        x_feat = MiniPointNet(f, name="point_mlp_1")(
+            jnp.concatenate([x_feat, back], axis=-1), train)
+
+        node_feat = GroupPointTransformer(f, name="group_node")(
+            pc, x_feat, node, node_feat, pt2node)
+
+        for i in range(3):
+            node_feat = KnnPointTransformer(f, cfg.knn_k, name=f"knn_{i}")(
+                node, node_feat)
+
+        # Proxies = first num_proxy FPS-ordered nodes (PointViT.py:83-84);
+        # nearest-proxy assignment is a pure function of coordinates.
+        proxy = node[:, : cfg.num_proxy, :]
+        proxy_feat = node_feat[:, : cfg.num_proxy, :]
+        d = jnp.linalg.norm(node[:, :, None, :] - proxy[:, None, :, :], axis=-1)
+        node2proxy = jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+        proxy_feat = GroupPointTransformer(f, name="group_proxy")(
+            node, node_feat, proxy, proxy_feat, node2proxy)
+
+        for i in range(cfg.num_sa_layer):
+            proxy_feat = ViTBlock(cfg.num_head, cfg.mlp_dim,
+                                  cfg.attention_dropout, cfg.mlp_dropout,
+                                  name=f"sa_{i}")(proxy_feat, train)
+        return proxy_feat, node2proxy, x_feat, node_feat

@@ -1,0 +1,182 @@
+"""Model smoke + behavior tests on the tiny config."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cmr_agent_tpu.config import tiny_config
+from cmr_agent_tpu.models import (
+    MultiHeadModel, CMRAgent, IterModel, MiniGNN, SiameseResMLP,
+    PointNetSetAbstraction, PointNetFeaturePropagation,
+    action_from_logits, action_logprob_and_entropy,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return tiny_config()
+
+
+@pytest.fixture(scope="module")
+def batch(cfg):
+    rng = np.random.default_rng(0)
+    B, N, M, S = 2, cfg.num_pt, cfg.num_node, cfg.circle_loss_num
+    h, w = cfg.image_h, cfg.image_w
+    return {
+        "img": jnp.array(rng.normal(size=(B, cfg.cropped_img_h,
+                                          cfg.cropped_img_w, 3)), jnp.float32),
+        "pc": jnp.array(rng.normal(size=(B, N, 3)), jnp.float32),
+        "node": jnp.array(rng.normal(size=(B, M, 3)), jnp.float32),
+        "pt2node": jnp.array(rng.integers(0, M, size=(B, N)), jnp.int32),
+        "pc_mask": jnp.array(rng.integers(0, 2, size=(B, N)), jnp.int32),
+        "img_mask": jnp.array(rng.integers(0, 2, size=(B, h, w)), jnp.int32),
+        "pc_idx_for_circle_loss": jnp.array(
+            rng.integers(0, N, size=(B, S)), jnp.int32),
+        "pc_xy_int_for_circle_loss": jnp.array(np.stack(
+            [rng.integers(0, w, size=(B, S)),
+             rng.integers(0, h, size=(B, S))], axis=1), jnp.int32),
+        "pc_xy_float_for_circle_loss": jnp.array(
+            rng.uniform(0, 10, size=(B, 2, S)), jnp.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def mhm_vars(cfg, batch):
+    model = MultiHeadModel(cfg)
+    return model.init({"params": jax.random.key(0),
+                       "dropout": jax.random.key(1)},
+                      batch, train=False, with_loss=True)
+
+
+def test_multi_head_forward_shapes_and_loss(cfg, batch, mhm_vars):
+    out = MultiHeadModel(cfg).apply(mhm_vars, batch, train=False,
+                                    with_loss=True)
+    B, N = batch["pc"].shape[:2]
+    h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
+    assert out["fused_img_feat"].shape == (B, h, w, f)
+    assert out["fused_node_feat"].shape == (B, cfg.num_node, f)
+    assert out["pc_geo_feat"].shape == (B, N, f)
+    assert out["img_geo_feat"].shape == (B, h, w, f)
+    assert out["pc_overlap_logits"].shape == (B, N, 2)
+    assert out["pc_overlap_pred"].dtype == bool
+    assert out["matrix_accumulated"].shape == (B, 4, 4)
+    assert np.isfinite(float(out["loss"]))
+    for k in ("pc_overlap_precision", "img_overlap_recall",
+              "pc_overlap_accuracy"):
+        assert np.isfinite(float(out[k]))
+    # geo features are L2-normalised
+    norms = np.asarray(jnp.linalg.norm(out["pc_geo_feat"], axis=-1))
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_multi_head_train_mode_updates_batch_stats(cfg, batch, mhm_vars):
+    model = MultiHeadModel(cfg)
+    out, mutated = model.apply(
+        mhm_vars, batch, train=True, with_loss=True,
+        rngs={"dropout": jax.random.key(2)}, mutable=["batch_stats"])
+    assert "batch_stats" in mutated
+    before = jax.tree.leaves(mhm_vars["batch_stats"])[0]
+    after = jax.tree.leaves(mutated["batch_stats"])[0]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_inference_without_labels(cfg, batch, mhm_vars):
+    slim = {k: batch[k] for k in ("img", "pc", "node", "pt2node")}
+    out = MultiHeadModel(cfg).apply(mhm_vars, slim, train=False,
+                                    with_loss=False)
+    assert float(out["loss"]) == 0.0
+    assert "pc_geo_feat" in out and "pc_overlap_pred" in out
+
+
+def test_agent_forward_and_actions(cfg):
+    rng = np.random.default_rng(1)
+    B, N = 2, cfg.num_pt
+    h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
+    s2d = jnp.array(rng.normal(size=(B, h, w, 2 * f)), jnp.float32)
+    s3d = jnp.array(rng.normal(size=(B, N, 5)), jnp.float32)
+    agent = CMRAgent(cfg)
+    avars = agent.init({"params": jax.random.key(2)}, s2d, s3d, train=False)
+    r, t, v = agent.apply(avars, s2d, s3d, train=False)
+    assert r.shape == (B, cfg.degree_r, cfg.num_steps)
+    assert t.shape == (B, cfg.degree_t, cfg.num_steps)
+    assert v.shape == (B, 1, 1)
+
+    ar, at = action_from_logits(r, t, deterministic=True)
+    assert ar.shape == (B, cfg.degree_r) and at.shape == (B, cfg.degree_t)
+    np.testing.assert_array_equal(np.asarray(ar),
+                                  np.asarray(jnp.argmax(r, -1)))
+    ar2, at2 = action_from_logits(r, t, key=jax.random.key(3))
+    assert ar2.shape == ar.shape
+
+    lp, ent = action_logprob_and_entropy(r, t, ar, at)
+    assert lp.shape == (B, cfg.degree_r + cfg.degree_t)
+    assert np.all(np.asarray(ent) >= 0)
+    # logprob of argmax action must equal max log softmax
+    want = np.asarray(jax.nn.log_softmax(r, -1).max(-1))
+    np.testing.assert_allclose(np.asarray(lp)[:, :cfg.degree_r], want,
+                               rtol=1e-5)
+
+
+def test_iter_model_forward(cfg):
+    rng = np.random.default_rng(2)
+    N, h, w, f = cfg.num_pt, cfg.image_h, cfg.image_w, cfg.embed_dim
+    nl = cfg.nlabel
+    K = np.array([[[float(w), 0, w / 2], [0, float(w), h / 2], [0, 0, 1]]],
+                 np.float32)
+    state = {
+        "pc_i": jnp.array(rng.normal(size=(1, N, 3)), jnp.float32),
+        "K": jnp.array(K),
+        "pc_geo_feat": jnp.array(rng.normal(size=(1, N, f)), jnp.float32),
+        "img_geo_feat": jnp.array(rng.normal(size=(1, h, w, f)), jnp.float32),
+        "pc_overlap_pred": jnp.array(rng.integers(0, 2, size=(1, N)), bool),
+        "pc_overlap_pred_standby": jnp.array(
+            rng.integers(0, 2, size=(1, N)), bool),
+        "pc_is_in_cam_scores": jnp.array(rng.uniform(size=(1, N)), jnp.float32),
+        "img_overlap_pred": jnp.array(rng.uniform(size=(1, h, w)), jnp.float32),
+        "matrix_accumulated": jnp.eye(4)[None],
+        "R_amplitude": jnp.array([np.pi], jnp.float32),
+        "T_amplitude": jnp.array([10.0], jnp.float32),
+        "label_R": jnp.array(np.eye(nl)[0:1], jnp.float32),
+        "label_T_x": jnp.array(np.eye(nl)[1:2], jnp.float32),
+        "label_T_z": jnp.array(np.eye(nl)[2:3], jnp.float32),
+    }
+    model = IterModel(cfg)
+    ivars = model.init({"params": jax.random.key(3)}, state, train=False)
+    out = model.apply(ivars, state, train=False)
+    assert out["cost_volume_logits"].shape == (1, nl**3)
+    assert np.isfinite(float(out["cost_volume_loss"]))
+    assert out["matrix_i"].shape == (1, 4, 4)
+    assert out["pc_i"].shape == (1, N, 3)
+    # matrix_i is rigid: R @ R^T == I
+    R = np.asarray(out["matrix_i"])[0, :3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+
+def test_pointnet_capability_surface(cfg):
+    rng = np.random.default_rng(3)
+    xyz = jnp.array(rng.normal(size=(2, 128, 3)), jnp.float32)
+    sa = PointNetSetAbstraction(npoint=16, radius=0.5, nsample=8,
+                                mlp=(16, 32))
+    v = sa.init(jax.random.key(0), xyz, None)
+    new_xyz, feat = sa.apply(v, xyz, None)
+    assert new_xyz.shape == (2, 16, 3) and feat.shape == (2, 16, 32)
+
+    fp = PointNetFeaturePropagation(mlp=(16,))
+    v2 = fp.init(jax.random.key(1), xyz, new_xyz, None, feat)
+    up = fp.apply(v2, xyz, new_xyz, None, feat)
+    assert up.shape == (2, 128, 16)
+
+
+def test_gnn_capability_surface():
+    rng = np.random.default_rng(4)
+    x = jnp.array(rng.normal(size=(2, 64, 3)), jnp.float32)
+    knn = jnp.array(rng.integers(0, 64, size=(2, 64, 8)), jnp.int32)
+    gnn = MiniGNN(edge_conv_dim=16, out_features=16)
+    v = gnn.init(jax.random.key(0), x, knn)
+    out = gnn.apply(v, x, knn)
+    assert out.shape == (2, 64, 16)
+
+    mlp = SiameseResMLP(features=16, num_block=2)
+    v = mlp.init(jax.random.key(1), x)
+    assert mlp.apply(v, x).shape == (2, 64, 16)

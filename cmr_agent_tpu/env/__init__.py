@@ -1,0 +1,13 @@
+"""On-device registration environment + episode engine."""
+
+from .environment import (  # noqa: F401
+    init_poses,
+    expert_action,
+    apply_action,
+    observation_from_pose,
+    step_reward,
+)
+from .episode import run_episode, EpisodeCarry  # noqa: F401
+from .buffer import (  # noqa: F401
+    TrajectoryBuffer, discounted_returns, gae_advantage,
+)

@@ -1,0 +1,174 @@
+"""Registration environment: observation / expert / step / reward.
+
+Capability of reference environment/environment.py, redesigned on-device:
+
+* ``observation_from_pose`` is **fully batched** — the reference loops over
+  the batch in Python and boolean-indexes overlap points
+  (environment.py:39-84); here invalid (non-overlap or out-of-frustum)
+  points route to a padding bucket of a static-shape segment-mean, which is
+  bit-equivalent to the reference's masked ``scatter_mean``.
+* ``expert_action`` keeps the scipy euler extraction + yaw-flip
+  disambiguation (environment.py:151-160) as closed-form JAX, so the
+  whole imitation rollout stays on device.
+* ``step_reward`` fixes the reference bug where the pose is never applied
+  (the transform at environment.py:273 is commented out, making the dense
+  reward identically zero); ``apply_pose=False`` reproduces the degenerate
+  reference behaviour for parity runs.
+
+Everything here is jit/vmap/scan-safe: static shapes, no host sync.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..ops.geometry import (euler_angles_to_matrix_xyz, frustum_mask,
+                            matrix_to_euler_xyz_extrinsic, project_points,
+                            transform_points_disentangled)
+from ..ops.scatter import scatter_mean_image
+
+
+def init_poses(batch):
+    """Identity source pose + ground-truth target (environment.py:129-140)."""
+    b = batch["pc"].shape[0]
+    pose_source = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+    pose_target = batch["P"].astype(jnp.float32)
+    return pose_source, pose_target
+
+
+def observation_from_pose(feats, pose, image_h: int, image_w: int):
+    """Render the 2-D and 3-D observations under the current pose estimate.
+
+    Args:
+      feats: dict with ``pc [B,N,3]``, ``K [B,3,3]``,
+        ``pc_overlap_pred [B,N]`` bool, ``pc_geo_feat [B,N,F]``,
+        ``img_geo_feat [B,H,W,F]``.
+      pose: ``[B,4,4]`` disentangled pose estimate.
+
+    Returns:
+      ``(observation_2d [B,H,W,2F], observation_3d [B,N,5])``.
+    """
+    pc = feats["pc"]
+    K = feats["K"]
+    overlap = feats["pc_overlap_pred"]
+
+    R = pose[:, :3, :3]
+    t = pose[:, :3, 3]
+    pc_rt = transform_points_disentangled(pc, R, t)
+    proj = project_points(pc_rt, K)
+    in_cam = frustum_mask(proj, w=image_w, h=image_h)
+
+    xi = jnp.round(proj[..., 0]).astype(jnp.int32)
+    yi = jnp.round(proj[..., 1]).astype(jnp.int32)
+    pix = yi * image_w + xi
+
+    valid = in_cam & overlap
+    proj_feat = scatter_mean_image(feats["pc_geo_feat"], pix, valid,
+                                   image_h, image_w)
+    observation_2d = jnp.concatenate([feats["img_geo_feat"], proj_feat],
+                                     axis=-1)
+
+    observation_3d = jnp.concatenate(
+        [pc, overlap[..., None].astype(pc.dtype),
+         in_cam[..., None].astype(pc.dtype)], axis=-1)
+    return observation_2d, observation_3d
+
+
+def expert_action(pose_source, pose_target, r_steps, t_steps,
+                  is_6_dof: bool = False):
+    """Discrete expert action toward the target (environment.py:143-176).
+
+    The rotation delta is extracted as extrinsic-xyz euler; when the roll
+    component exceeds 3 rad (the R(pi)-ambiguity region) the expert zeroes
+    rx/rz and reflects ry about +-pi — the reference's disambiguation
+    (environment.py:153-159).
+
+    Branch-cut note: a pure yaw delta beyond +-pi/2 decomposes with roll
+    exactly +-pi; scipy's sign there depends on float residue, so the
+    reference's flip branch fires nondeterministically for such poses. Our
+    ``atan2`` consistently yields +pi, so the flip (which recovers the true
+    yaw magnitude — the "aim-true" behaviour) always triggers. This is the
+    strictly-better deterministic choice.
+
+    Returns ``(action_r [B, dr], action_t [B, dt])`` int32 indices into the
+    step tables.
+    """
+    delta_t = pose_target[:, :3, 3] - pose_source[:, :3, 3]
+    delta_R = pose_target[:, :3, :3] @ jnp.swapaxes(
+        pose_source[:, :3, :3], -1, -2)
+    delta_r = matrix_to_euler_xyz_extrinsic(delta_R)
+
+    flip = delta_r[:, 0] > 3.0
+    ry = delta_r[:, 1]
+    ry_flipped = jnp.where(ry > 0, jnp.pi - ry,
+                           jnp.where(ry < 0, -jnp.pi - ry, ry))
+    delta_r = jnp.stack([
+        jnp.where(flip, 0.0, delta_r[:, 0]),
+        jnp.where(flip, ry_flipped, ry),
+        jnp.where(flip, 0.0, delta_r[:, 2]),
+    ], axis=-1)
+
+    err_r = jnp.abs(delta_r[..., None] - r_steps[None, None, :])
+    action_r = jnp.argmin(err_r, axis=-1).astype(jnp.int32)
+    err_t = jnp.abs(delta_t[..., None] - t_steps[None, None, :])
+    action_t = jnp.argmin(err_t, axis=-1).astype(jnp.int32)
+
+    if not is_6_dof:
+        action_r = action_r[:, 1:2]                       # yaw only
+        action_t = jnp.stack([action_t[:, 0], action_t[:, 2]], axis=-1)
+    return action_r, action_t
+
+
+def apply_action(action_r, action_t, pose_source, r_steps, t_steps,
+                 is_6_dof: bool = False):
+    """Left-compose the discrete step onto the pose (environment.py:179-207)."""
+    b = action_r.shape[0]
+    if is_6_dof:
+        move_r = r_steps[action_r]                        # [B, 3]
+        move_t = t_steps[action_t]
+    else:
+        zero = jnp.zeros((b,), dtype=r_steps.dtype)
+        move_r = jnp.stack([zero, r_steps[action_r[:, 0]], zero], axis=-1)
+        move_t = jnp.stack([t_steps[action_t[:, 0]], zero,
+                            t_steps[action_t[:, 1]]], axis=-1)
+
+    R_new = euler_angles_to_matrix_xyz(move_r) @ pose_source[:, :3, :3]
+    pose = pose_source.at[:, :3, :3].set(R_new)
+    pose = pose.at[:, :3, 3].add(move_t)
+    return pose
+
+
+def step_reward(pose, batch, prev_distance=None, apply_pose: bool = True):
+    """Dense +-0.5 reward on masked point-to-point distance improvement.
+
+    Reference environment.py:263-302 with the fix: when ``apply_pose`` the
+    current pose transforms the cloud (disentangled) before measuring the
+    distance to ``pc_in_cam_space``; ``apply_pose=False`` reproduces the
+    reference's committed behaviour where the distance never changes.
+
+    Returns ``(reward [B,1,1], distance [B,1,1])``.
+    """
+    pc_target = batch["pc_in_cam_space"]                  # [B, N, 3]
+    mask = batch["pc_mask"].astype(pc_target.dtype)       # [B, N]
+    pc = batch["pc"]
+
+    mean = pc.mean(axis=1, keepdims=True)
+    if apply_pose:
+        moved = transform_points_disentangled(pc, pose[:, :3, :3],
+                                              pose[:, :3, 3])
+        diff = pc_target - moved
+    else:
+        diff = pc_target - (pc - mean)
+    d = jnp.sum(diff * diff, axis=-1)                     # [B, N]
+    d = jnp.sum(d * mask, axis=1) / jnp.maximum(mask.sum(axis=1), 1.0)
+    d = d[:, None, None]
+
+    if prev_distance is None:
+        return jnp.zeros_like(d), d
+    better = (d < prev_distance).astype(d.dtype) * 0.5
+    worse = (d > prev_distance).astype(d.dtype) * 0.5
+    return better - worse, d

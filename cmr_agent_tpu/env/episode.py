@@ -1,0 +1,129 @@
+"""Whole-episode engine as a single ``lax.scan``.
+
+The reference runs the K-step refinement as a Python loop with per-step
+host round-trips (scipy euler in the expert, per-sample observation loops;
+Test_Agent.py:158-170, Train_Agent.py:223-250). Here the full episode —
+observation -> policy -> action -> pose update -> reward x K — is one
+compiled on-device program; the trajectory (for BC/PPO) comes back as
+stacked scan outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from .environment import (apply_action, expert_action, observation_from_pose,
+                          step_reward)
+from ..models.agent import action_from_logits, action_logprob_and_entropy
+
+
+class EpisodeCarry(NamedTuple):
+    pose: jnp.ndarray          # [B, 4, 4]
+    prev_distance: jnp.ndarray  # [B, 1, 1]
+    key: jax.Array
+
+
+def run_episode(
+    agent_apply: Callable,
+    agent_vars: Any,
+    state: dict,
+    pose_init: jnp.ndarray,
+    pose_target: Optional[jnp.ndarray],
+    cfg: Config,
+    *,
+    deterministic: bool = True,
+    key: Optional[jax.Array] = None,
+    with_expert: bool = False,
+    collect_trajectory: bool = False,
+    reward_apply_pose: bool = True,
+):
+    """Run a K-step registration episode on device.
+
+    Args:
+      agent_apply: ``(vars, obs2d, obs3d) -> (r_logits, t_logits, value)``.
+      state: dict holding the frozen geo outputs and batch tensors:
+        ``pc, K, pc_overlap_pred, pc_geo_feat, img_geo_feat`` (observation),
+        plus ``pc_in_cam_space, pc_mask`` when trajectories are collected
+        (reward).
+      pose_init: ``[B,4,4]`` starting estimate (identity).
+      pose_target: ``[B,4,4]`` disentangled ground truth (expert/reward);
+        may be None when ``with_expert=False`` and no trajectory is needed.
+      deterministic: argmax policy (eval) vs categorical sampling (rollout).
+      key: PRNG key (required when sampling).
+      with_expert: also compute the expert action each step (imitation).
+      collect_trajectory: return per-step tensors for BC/PPO.
+      reward_apply_pose: True = fixed reward semantics; False = reproduce
+        the reference's degenerate constant-distance reward.
+
+    Returns:
+      ``(final_pose [B,4,4], trajectory dict or None)``. Trajectory tensors
+      are stacked over the step axis: ``state_2d [K,B,H,W,2F]``,
+      ``state_3d [K,B,N,5]``, ``value/reward [K,B,1,1]``,
+      ``expert_action_r/t``, ``action_r/t``, ``action_logprob [K,B,dr+dt]``.
+    """
+    r_steps = jnp.asarray(cfg.r_steps_array())
+    t_steps = jnp.asarray(cfg.t_steps_array())
+    if key is None:
+        key = jax.random.key(0)
+
+    need_reward = collect_trajectory
+    if need_reward:
+        _, dist0 = step_reward(pose_init, state,
+                               apply_pose=reward_apply_pose)
+    else:
+        b = pose_init.shape[0]
+        dist0 = jnp.zeros((b, 1, 1), jnp.float32)
+
+    def step_fn(carry: EpisodeCarry, _):
+        pose = carry.pose
+
+        if with_expert:
+            exp_r, exp_t = expert_action(pose, pose_target, r_steps, t_steps,
+                                         cfg.is_6_dof)
+        else:
+            exp_r = exp_t = None
+
+        obs2d, obs3d = observation_from_pose(state, pose,
+                                             cfg.image_h, cfg.image_w)
+        r_logits, t_logits, value = agent_apply(agent_vars, obs2d, obs3d)
+
+        new_key, sub = jax.random.split(carry.key)
+        action_r, action_t = action_from_logits(
+            r_logits, t_logits, key=sub, deterministic=deterministic)
+
+        new_pose = apply_action(action_r, action_t, pose, r_steps, t_steps,
+                                cfg.is_6_dof)
+
+        if need_reward:
+            reward, dist = step_reward(new_pose, state, carry.prev_distance,
+                                       apply_pose=reward_apply_pose)
+        else:
+            reward, dist = carry.prev_distance * 0, carry.prev_distance
+
+        out = None
+        if collect_trajectory:
+            logprob, entropy = action_logprob_and_entropy(
+                r_logits, t_logits, action_r, action_t)
+            out = {
+                "state_2d": obs2d,
+                "state_3d": obs3d,
+                "value": value,
+                "reward": reward,
+                "expert_action_r": exp_r,
+                "expert_action_t": exp_t,
+                "action_r": action_r,
+                "action_t": action_t,
+                "action_logprob": logprob,
+                "entropy": entropy,
+            }
+            out = {k: v for k, v in out.items() if v is not None}
+
+        return EpisodeCarry(new_pose, dist, new_key), out
+
+    carry0 = EpisodeCarry(pose_init, dist0, key)
+    carry, traj = jax.lax.scan(step_fn, carry0, None, length=cfg.action_num)
+    return carry.pose, traj

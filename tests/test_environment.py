@@ -1,0 +1,276 @@
+"""Environment tests against numpy/scipy oracles + scan episode smoke."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from cmr_agent_tpu.config import tiny_config
+from cmr_agent_tpu.env import (
+    init_poses, expert_action, apply_action, observation_from_pose,
+    step_reward, run_episode, TrajectoryBuffer, discounted_returns,
+    gae_advantage,
+)
+from cmr_agent_tpu.models import CMRAgent
+from cmr_agent_tpu.ops import make_se3, to_disentangled
+
+
+CFG = tiny_config()
+R_STEPS = CFG.r_steps_array()
+T_STEPS = CFG.t_steps_array()
+
+
+def _np_expert(pose_source, pose_target):
+    """Reference expert (environment/environment.py:143-176) in numpy."""
+    delta_t = pose_target[:, :3, 3] - pose_source[:, :3, 3]
+    delta_R = pose_target[:, :3, :3] @ np.swapaxes(pose_source[:, :3, :3], 1, 2)
+    delta_r = Rotation.from_matrix(delta_R).as_euler("xyz")
+    mask = delta_r[:, 0] > 3
+    delta_r[mask, 0] = 0
+    mask_p = delta_r[:, 1] > 0
+    delta_r[mask & mask_p, 1] = math.pi - delta_r[mask & mask_p, 1]
+    mask_n = delta_r[:, 1] < 0
+    delta_r[mask & mask_n, 1] = -math.pi - delta_r[mask & mask_n, 1]
+    delta_r[mask, 2] = 0
+    action_r = np.abs(delta_r[:, :, None] - R_STEPS[None, None]).argmin(2)
+    action_t = np.abs(delta_t[:, :, None] - T_STEPS[None, None]).argmin(2)
+    return action_r[:, 1:2], action_t[:, [0, 2]]
+
+
+def test_expert_matches_scipy_oracle_incl_flip():
+    rng = np.random.default_rng(0)
+    # Exercise both branches away from the euler branch cut (|yaw| ~ pi/2
+    # with roll 0 decomposes with roll exactly +-pi, where scipy's sign —
+    # and hence the reference's flip decision — depends on float residue).
+    angles = rng.uniform(-np.pi, np.pi, size=(64, 3))
+    roll_flip = rng.random(64) > 0.5
+    angles[:, 0] = np.where(roll_flip, np.pi - 1e-3, 0.0)
+    angles[~roll_flip, 1] = rng.uniform(-1.5, 1.5, size=(~roll_flip).sum())
+    R = Rotation.from_euler("xyz", angles).as_matrix().astype(np.float32)
+    t = rng.uniform(-10, 10, size=(64, 3)).astype(np.float32)
+    tgt = np.asarray(make_se3(jnp.array(R), jnp.array(t)))
+    src = np.tile(np.eye(4, dtype=np.float32), (64, 1, 1))
+
+    want_r, want_t = _np_expert(src, tgt)
+    got_r, got_t = expert_action(jnp.array(src), jnp.array(tgt),
+                                 jnp.array(R_STEPS), jnp.array(T_STEPS))
+    np.testing.assert_array_equal(np.asarray(got_r), want_r)
+    np.testing.assert_array_equal(np.asarray(got_t), want_t)
+
+
+def test_expert_aims_true_at_branch_cut():
+    # Pure yaw of 2.5 rad: euler roll is exactly +-pi; our deterministic
+    # +pi choice triggers the flip, recovering ry = pi - asin(sin 2.5) ~ 2.5
+    # so the expert picks the largest positive yaw step.
+    yaw = 2.5
+    R = Rotation.from_euler("y", yaw).as_matrix().astype(np.float32)[None]
+    tgt = np.asarray(make_se3(jnp.array(R), jnp.zeros((1, 3))))
+    src = np.eye(4, dtype=np.float32)[None]
+    got_r, _ = expert_action(jnp.array(src), jnp.array(tgt),
+                             jnp.array(R_STEPS), jnp.array(T_STEPS))
+    want = int(np.abs(2.5 - R_STEPS).argmin())
+    assert int(got_r[0, 0]) == want
+
+
+def test_apply_action_composes_left():
+    b = 4
+    rng = np.random.default_rng(1)
+    pose = jnp.array(np.tile(np.eye(4, dtype=np.float32), (b, 1, 1)))
+    ar = jnp.array(rng.integers(0, 11, size=(b, 1)), jnp.int32)
+    at = jnp.array(rng.integers(0, 11, size=(b, 2)), jnp.int32)
+    new = np.asarray(apply_action(ar, at, pose, jnp.array(R_STEPS),
+                                  jnp.array(T_STEPS)))
+    for i in range(b):
+        ry = R_STEPS[int(ar[i, 0])]
+        c, s = np.cos(ry), np.sin(ry)
+        want_R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        np.testing.assert_allclose(new[i, :3, :3], want_R, atol=1e-5)
+        np.testing.assert_allclose(
+            new[i, :3, 3],
+            [T_STEPS[int(at[i, 0])], 0.0, T_STEPS[int(at[i, 1])]], atol=1e-6)
+
+
+def _np_observation(state, pose, h, w):
+    """Reference observation (environment.py:25-126) in numpy."""
+    B, N, _ = state["pc"].shape
+    F = state["pc_geo_feat"].shape[-1]
+    obs2d = np.zeros((B, h, w, 2 * F), np.float32)
+    obs3d = np.zeros((B, N, 5), np.float32)
+    for i in range(B):
+        pc = state["pc"][i]
+        mean = pc.mean(0, keepdims=True)
+        R, t = pose[i, :3, :3], pose[i, :3, 3]
+        moved = (pc - mean) @ R.T + mean + t
+        proj = moved @ state["K"][i].T
+        xy = proj[:, :2] / proj[:, 2:3]
+        in_cam = ((xy[:, 0] >= 0) & (xy[:, 0] <= w - 1) & (xy[:, 1] >= 0)
+                  & (xy[:, 1] <= h - 1) & (proj[:, 2] > 0))
+        ov = state["pc_overlap_pred"][i]
+        grid_sum = np.zeros((h * w, F))
+        grid_cnt = np.zeros(h * w)
+        for n in range(N):
+            if ov[n] and in_cam[n]:
+                px = int(np.round(xy[n, 0]))
+                py = int(np.round(xy[n, 1]))
+                grid_sum[py * w + px] += state["pc_geo_feat"][i, n]
+                grid_cnt[py * w + px] += 1
+        grid = grid_sum / np.maximum(grid_cnt, 1)[:, None]
+        obs2d[i] = np.concatenate(
+            [state["img_geo_feat"][i], grid.reshape(h, w, F)], axis=-1)
+        obs3d[i] = np.concatenate(
+            [pc, ov[:, None].astype(np.float32),
+             in_cam[:, None].astype(np.float32)], axis=-1)
+    return obs2d, obs3d
+
+
+def test_observation_matches_loop_oracle():
+    rng = np.random.default_rng(2)
+    B, N, F, h, w = 2, 200, 8, 6, 10
+    K = np.array([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]], np.float32)
+    state = {
+        "pc": rng.normal(size=(B, N, 3)).astype(np.float32) * 2
+              + np.array([0, 0, 6], np.float32),
+        "K": np.tile(K, (B, 1, 1)),
+        "pc_overlap_pred": rng.integers(0, 2, size=(B, N)).astype(bool),
+        "pc_geo_feat": rng.normal(size=(B, N, F)).astype(np.float32),
+        "img_geo_feat": rng.normal(size=(B, h, w, F)).astype(np.float32),
+    }
+    angles = rng.uniform(-0.3, 0.3, size=(B, 3))
+    R = Rotation.from_euler("xyz", angles).as_matrix().astype(np.float32)
+    t = rng.uniform(-0.5, 0.5, size=(B, 3)).astype(np.float32)
+    pose = np.asarray(make_se3(jnp.array(R), jnp.array(t)))
+
+    want2d, want3d = _np_observation(state, pose, h, w)
+    got2d, got3d = observation_from_pose(
+        {k: jnp.array(v) for k, v in state.items()}, jnp.array(pose), h, w)
+    np.testing.assert_allclose(np.asarray(got2d), want2d, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got3d), want3d, atol=1e-6)
+
+
+def test_reward_improves_toward_target():
+    rng = np.random.default_rng(3)
+    B, N = 2, 100
+    pc_cam = rng.normal(size=(B, N, 3)).astype(np.float32)
+    # perturb: rotate about centroid + translate (disentangled ground truth)
+    angles = rng.uniform(-0.5, 0.5, size=(B, 3))
+    Rm = Rotation.from_euler("xyz", angles).as_matrix().astype(np.float32)
+    t = rng.uniform(-1, 1, size=(B, 3)).astype(np.float32)
+    mean = pc_cam.mean(1, keepdims=True)
+    pc_pert = np.einsum("bij,bnj->bni", Rm, pc_cam - mean) + mean + t[:, None]
+
+    batch = {
+        "pc": jnp.array(pc_pert),
+        # reference target: pc_in_cam_space compared against centred cloud
+        "pc_in_cam_space": jnp.array(pc_cam - pc_cam.mean(1, keepdims=True)),
+        "pc_mask": jnp.ones((B, N), jnp.int32),
+    }
+    # ground-truth inverse pose (disentangled about pc_pert centroid)
+    P = np.asarray(make_se3(jnp.array(np.swapaxes(Rm, 1, 2)),
+                            jnp.array(-np.einsum("bji,bj->bi", Rm, t))))
+    # identity at start
+    eye = jnp.array(np.tile(np.eye(4, dtype=np.float32), (B, 1, 1)))
+    _, d0 = step_reward(eye, batch, apply_pose=True)
+    # reward measures against centred target; the pose that undoes the
+    # perturbation must shrink the distance
+    mean_pert = pc_pert.mean(1, keepdims=True)
+    undo = np.einsum("bij,bnj->bni", np.swapaxes(Rm, 1, 2),
+                     pc_pert - mean_pert)
+    # build the corresponding [B,4,4] disentangled pose: rotation Rm^T,
+    # translation mapping back toward centred original
+    t_fix = (pc_cam - pc_cam.mean(1, keepdims=True)).mean(1) - undo.mean(1)
+    pose_fix = make_se3(jnp.array(np.swapaxes(Rm, 1, 2)),
+                        jnp.array(t_fix.astype(np.float32)))
+    r, d1 = step_reward(pose_fix, batch, prev_distance=d0, apply_pose=True)
+    assert np.all(np.asarray(d1) < np.asarray(d0))
+    np.testing.assert_allclose(np.asarray(r).ravel(), 0.5)
+
+    # degenerate reference semantics: distance constant, reward 0
+    _, dd0 = step_reward(eye, batch, apply_pose=False)
+    r2, dd1 = step_reward(pose_fix, batch, prev_distance=dd0,
+                          apply_pose=False)
+    np.testing.assert_allclose(np.asarray(dd0), np.asarray(dd1))
+    np.testing.assert_allclose(np.asarray(r2).ravel(), 0.0)
+
+
+def test_run_episode_scan_and_buffer():
+    cfg = CFG
+    rng = np.random.default_rng(4)
+    B, N = 2, cfg.num_pt
+    h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
+    K = np.array([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]], np.float32)
+    state = {
+        "pc": jnp.array(rng.normal(size=(B, N, 3)), jnp.float32),
+        "K": jnp.array(np.tile(K, (B, 1, 1))),
+        "pc_overlap_pred": jnp.array(rng.integers(0, 2, (B, N)), bool),
+        "pc_geo_feat": jnp.array(rng.normal(size=(B, N, f)), jnp.float32),
+        "img_geo_feat": jnp.array(rng.normal(size=(B, h, w, f)), jnp.float32),
+        "pc_in_cam_space": jnp.array(rng.normal(size=(B, N, 3)), jnp.float32),
+        "pc_mask": jnp.ones((B, N), jnp.int32),
+        "P": jnp.array(np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))),
+    }
+    agent = CMRAgent(cfg)
+    obs2d, obs3d = observation_from_pose(state, state["P"], h, w)
+    avars = agent.init(jax.random.key(0), obs2d, obs3d, train=False)
+    apply_fn = lambda v, o2, o3: agent.apply(v, o2, o3, train=False)
+
+    pose_src, pose_tgt = init_poses(state)
+    pose_tgt = to_disentangled(pose_tgt, state["pc"])
+
+    final, traj = run_episode(
+        apply_fn, avars, state, pose_src, pose_tgt, cfg,
+        deterministic=False, key=jax.random.key(1), with_expert=True,
+        collect_trajectory=True)
+    k = cfg.action_num
+    assert final.shape == (B, 4, 4)
+    assert traj["state_2d"].shape == (k, B, h, w, 2 * f)
+    assert traj["state_3d"].shape == (k, B, N, 5)
+    assert traj["action_logprob"].shape == (k, B, 3)
+    assert traj["expert_action_r"].shape == (k, B, 1)
+
+    # deterministic episode is reproducible
+    f1, _ = run_episode(apply_fn, avars, state, pose_src, pose_tgt, cfg,
+                        deterministic=True)
+    f2, _ = run_episode(apply_fn, avars, state, pose_src, pose_tgt, cfg,
+                        deterministic=True)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+    buf = TrajectoryBuffer(cfg.gamma, cfg.gae_lambda)
+    buf.add(traj)
+    buf.add(traj)
+    samples = buf.samples()
+    assert samples["state_2d"].shape[0] == 2 * k * B
+    assert samples["returns"].shape == (2 * k * B, 1, 1)
+    assert samples["advantage"].shape == (2 * k * B, 1, 1)
+
+
+def test_discounted_and_gae_match_reference_recursion():
+    rng = np.random.default_rng(5)
+    K = 7
+    rewards = rng.normal(size=(K, 1, 1, 1)).astype(np.float32)
+    values = rng.normal(size=(K, 1, 1, 1)).astype(np.float32)
+    got = np.asarray(discounted_returns(jnp.array(rewards), 0.9)).ravel()
+    want = np.zeros(K)
+    g = 0.0
+    for i in range(K - 1, -1, -1):
+        g = rewards.ravel()[i] + 0.9 * g
+        want[i] = g
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    adv = np.asarray(gae_advantage(jnp.array(rewards), jnp.array(values),
+                                   0.99, 0.95)).ravel()
+    v = np.concatenate([values.ravel(), [0.0]])
+    deltas = rewards.ravel() + 0.99 * v[1:] - v[:-1]
+    want = np.zeros(K)
+    g = 0.0
+    for i in range(K - 1, -1, -1):
+        g = deltas[i] + 0.99 * 0.95 * g
+        want[i] = g
+    np.testing.assert_allclose(adv, want, rtol=1e-4)
+
+    # lambda=0 -> returns - values
+    adv0 = np.asarray(gae_advantage(jnp.array(rewards), jnp.array(values),
+                                    0.9, 0.0)).ravel()
+    rets = np.asarray(discounted_returns(jnp.array(rewards), 0.9)).ravel()
+    np.testing.assert_allclose(adv0, rets - values.ravel(), rtol=1e-5)

@@ -1,0 +1,13 @@
+"""Training: optimizers, train steps, loops, checkpointing, conversion."""
+
+from .optim import make_optimizer, make_lr_schedule  # noqa: F401
+from .train_geo import (  # noqa: F401
+    GeoTrainState, create_geo_state, make_geo_train_step, make_geo_eval_step,
+)
+from .train_agent import (  # noqa: F401
+    AgentTrainState, create_agent_state, make_rollout_fn, make_ppo_update_step,
+    make_val_episode_fn,
+)
+from .metrics import registration_metrics, MetricLogger  # noqa: F401
+from .checkpoint import save_checkpoint, restore_checkpoint  # noqa: F401
+from .convert import convert_torch_multihead, convert_torch_agent  # noqa: F401

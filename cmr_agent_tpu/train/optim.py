@@ -1,0 +1,54 @@
+"""Optimizers + LR schedules with torch-matching semantics.
+
+Reference training config (Train_Geo.py:65-96, Train_Agent.py:111-142):
+Adam betas (0.9, 0.99), L2 weight decay 1e-6 coupled into the gradient
+(torch-Adam style, NOT decoupled AdamW), gradient value clipping at 1.0
+(Train_Geo.py:173), and a StepLR / ExponentialLR / CosineAnnealingLR
+epoch schedule.
+"""
+
+from __future__ import annotations
+
+import optax
+
+from ..config import Config
+
+
+def make_lr_schedule(cfg: Config, steps_per_epoch: int):
+    """Epoch-granular schedule evaluated per optimizer step."""
+    if cfg.lr_scheduler == "StepLR":
+        def schedule(step):
+            epoch = step // max(steps_per_epoch, 1)
+            return cfg.lr * (cfg.scheduler_gamma ** (epoch // cfg.step_size))
+    elif cfg.lr_scheduler == "ExponentialLR":
+        def schedule(step):
+            epoch = step // max(steps_per_epoch, 1)
+            return cfg.lr * (cfg.scheduler_gamma ** epoch)
+    elif cfg.lr_scheduler == "CosineAnnealingLR":
+        schedule = optax.cosine_decay_schedule(
+            cfg.lr, decay_steps=10 * max(steps_per_epoch, 1),
+            alpha=1e-4 / cfg.lr)
+    else:
+        raise ValueError(f"unknown scheduler {cfg.lr_scheduler!r}")
+    return schedule
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int = 1000):
+    """clip(1.0) -> coupled L2 -> Adam(0.9, 0.99) -> lr schedule.
+
+    Chain order mirrors torch: the raw gradient is value-clipped
+    (Train_Geo.py:173) before the optimizer adds ``wd * param``
+    (torch-Adam coupling) and applies the moment updates.
+    """
+    schedule = make_lr_schedule(cfg, steps_per_epoch)
+    parts = [optax.clip(cfg.grad_clip_value)]
+    if cfg.weight_decay:
+        parts.append(optax.add_decayed_weights(cfg.weight_decay))
+    if cfg.optimizer == "ADAM":
+        parts.append(optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-8))
+    elif cfg.optimizer == "SGD":
+        parts.append(optax.trace(decay=cfg.momentum))
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    parts.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*parts)

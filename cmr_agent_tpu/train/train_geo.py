@@ -1,0 +1,100 @@
+"""Geo-model training step (Train_Geo.py equivalent), jit + DP-sharded.
+
+One compiled step = forward (losses + metrics) -> grad -> clipped Adam
+update -> BatchNorm running-stat update. Data parallelism comes from
+sharded batch inputs under jit (XLA inserts the gradient all-reduce over
+the mesh); see :mod:`cmr_agent_tpu.parallel.mesh`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import Config
+from ..models import MultiHeadModel
+from .optim import make_optimizer
+
+
+class GeoTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Any = struct.field(pytree_node=False)
+
+
+METRIC_KEYS = (
+    "loss", "geometric_loss", "pc_overlap_loss", "img_overlap_loss",
+    "pc_overlap_precision", "pc_overlap_recall", "pc_overlap_accuracy",
+    "img_overlap_precision", "img_overlap_recall", "img_overlap_accuracy",
+)
+
+
+def create_geo_state(cfg: Config, example_batch: Dict, rng: jax.Array,
+                     steps_per_epoch: int = 1000) -> GeoTrainState:
+    model = MultiHeadModel(cfg)
+    r1, r2 = jax.random.split(rng)
+    variables = model.init({"params": r1, "dropout": r2}, example_batch,
+                           train=False, with_loss=True)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    return GeoTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+
+def make_geo_train_step(cfg: Config):
+    """Returns jitted ``(state, batch, rng) -> (state, metrics)``."""
+
+    def train_step(state: GeoTrainState, batch: Dict, rng: jax.Array):
+        def loss_fn(params):
+            out, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, train=True, with_loss=True,
+                rngs={"dropout": rng}, mutable=["batch_stats"])
+            return out["loss"], (out, mutated["batch_stats"])
+
+        (loss, (out, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {k: out[k] for k in METRIC_KEYS}
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats, opt_state=new_opt)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_geo_eval_step(cfg: Config):
+    """Returns jitted ``(state, batch) -> metrics`` (eval mode, running BN)."""
+
+    def eval_step(state: GeoTrainState, batch: Dict):
+        out = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, train=False, with_loss=True)
+        return {k: out[k] for k in METRIC_KEYS}
+
+    return jax.jit(eval_step)
+
+
+def make_geo_forward(cfg: Config, with_loss: bool = False):
+    """Jitted frozen forward returning the full output dict (agent stage)."""
+
+    def forward(params, batch_stats, batch):
+        return MultiHeadModel(cfg).apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch, train=False, with_loss=with_loss)
+
+    return jax.jit(forward)

@@ -1,0 +1,109 @@
+"""Training-step tests: geo step learns, agent BC+PPO updates, checkpoints."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cmr_agent_tpu.config import tiny_config
+from cmr_agent_tpu.data import SyntheticDataset, collate
+from cmr_agent_tpu.train import (
+    create_geo_state, make_geo_train_step, make_geo_eval_step,
+    create_agent_state, make_rollout_fn, make_ppo_update_step,
+    make_val_episode_fn, save_checkpoint, restore_checkpoint,
+    registration_metrics, MetricLogger,
+)
+from cmr_agent_tpu.train.train_geo import make_geo_forward
+from cmr_agent_tpu.train.optim import make_lr_schedule
+from cmr_agent_tpu.env import TrajectoryBuffer
+
+CFG = tiny_config()
+
+
+def _batch(n=2):
+    ds = SyntheticDataset(CFG, length=n)
+    b = collate([ds[i] for i in range(n)])
+    return {k: jnp.asarray(v) for k, v in b.items()}
+
+
+def test_geo_train_step_descends():
+    batch = _batch()
+    state = create_geo_state(CFG, batch, jax.random.key(0))
+    step = make_geo_train_step(CFG)
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, batch, jax.random.key(i + 1))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # overfits a fixed batch
+
+    ev = make_geo_eval_step(CFG)
+    m = ev(state, batch)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_lr_schedule_steplr():
+    sched = make_lr_schedule(CFG, steps_per_epoch=10)
+    assert float(sched(0)) == CFG.lr
+    assert np.isclose(float(sched(10 * CFG.step_size)),
+                      CFG.lr * CFG.scheduler_gamma)
+
+
+def test_agent_rollout_update_and_val():
+    batch = _batch()
+    geo_state = create_geo_state(CFG, batch, jax.random.key(0))
+    fwd = make_geo_forward(CFG)
+    geo_out = fwd(geo_state.params, geo_state.batch_stats, batch)
+
+    h, w, f = CFG.image_h, CFG.image_w, CFG.embed_dim
+    agent_state = create_agent_state(
+        CFG, jnp.zeros((2, h, w, 2 * f)), jnp.zeros((2, CFG.num_pt, 5)),
+        jax.random.key(1))
+
+    rollout = make_rollout_fn(CFG)
+    traj, final, pose_tgt = rollout(agent_state, geo_out, batch,
+                                    jax.random.key(2))
+    assert final.shape == (2, 4, 4)
+
+    buf = TrajectoryBuffer(CFG.gamma, CFG.gae_lambda)
+    buf.add(traj)
+    samples = buf.samples()
+    n = samples["state_2d"].shape[0]
+    assert n == CFG.action_num * 2
+
+    update = make_ppo_update_step(CFG)
+    mb = {k: v[: CFG.ppo_batch_size] for k, v in samples.items()}
+    new_state, metrics = update(agent_state, mb)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["bc_loss"]))
+    assert int(new_state.step) == 1
+
+    val = make_val_episode_fn(CFG)
+    final, rte, rre = val(new_state, geo_out, batch)
+    assert rte.shape == (2,) and rre.shape == (2,)
+    m = registration_metrics(np.asarray(rte), np.asarray(rre))
+    assert 0.0 <= m["registration_recall"] <= 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    batch = _batch()
+    state = create_geo_state(CFG, batch, jax.random.key(0))
+    tree = {"params": state.params, "batch_stats": state.batch_stats,
+            "step": state.step}
+    path = os.path.join(str(tmp_path), "ckpt_0")
+    save_checkpoint(path, tree)
+    restored = restore_checkpoint(path, template=tree)
+    a = jax.tree.leaves(tree["params"])[0]
+    b = jax.tree.leaves(restored["params"])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_metric_logger(tmp_path):
+    logger = MetricLogger(logdir=None)
+    logger.log("train/loss", 1.5, step=0)
+    logger.log("train/loss", 1.2, step=1)
+    assert logger.history["train/loss"] == [(0, 1.5), (1, 1.2)]
+    m = registration_metrics(np.array([1.0, 20.0]), np.array([2.0, 3.0]))
+    assert m["registration_recall"] == 0.5
+    assert m["rte_mean"] == 1.0

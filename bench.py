@@ -1,0 +1,155 @@
+"""Benchmark: KITTI-scale registration episodes (geo forward + 10 agent
+steps) — image-PC pairs/sec/chip.
+
+This is the reference's north-star workload (Test_Agent.py:149-191: one-shot
+feature extraction then 10 refinement actions per pair, SURVEY.md §3.3),
+here compiled as a single on-device program.
+
+``vs_baseline``: the north star is >=5x PyTorch-CPU pairs/sec/chip
+(BASELINE.json). The reference cannot run here (its torch_scatter CUDA dep
+is absent), so the baseline denominator is the same workload executed by
+the XLA CPU backend on this host — a generous stand-in for the torch CPU
+reference (same math, compiled). vs_baseline = tpu_rate / cpu_rate.
+
+Prints ONE JSON line to stdout; diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def build_workload(cfg, batch_size: int):
+    import jax
+    import jax.numpy as jnp
+    from cmr_agent_tpu.data import SyntheticDataset, collate
+    from cmr_agent_tpu.models import MultiHeadModel, CMRAgent
+    from cmr_agent_tpu.env import init_poses, run_episode
+    from cmr_agent_tpu.ops import to_disentangled
+
+    ds = SyntheticDataset(cfg, length=batch_size)
+    batch_np = collate([ds[i] for i in range(batch_size)])
+
+    model = MultiHeadModel(cfg)
+    agent = CMRAgent(cfg)
+
+    def build_vars(batch):
+        gv = model.init({"params": jax.random.key(0),
+                         "dropout": jax.random.key(1)},
+                        batch, train=False, with_loss=False)
+        h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
+        av = agent.init({"params": jax.random.key(2)},
+                        jnp.zeros((batch_size, h, w, 2 * f)),
+                        jnp.zeros((batch_size, cfg.num_pt, 5)),
+                        train=False)
+        return gv, av
+
+    def episode(gv, av, batch, shift):
+        # ``shift`` (a scalar derived from the previous iteration's result)
+        # forces a serial dependency between timing iterations: the axon
+        # remote runtime does not synchronise on block_until_ready, so
+        # independent calls would overlap/defer and inflate throughput.
+        batch = dict(batch, pc=batch["pc"] + shift)
+        out = model.apply(gv, batch, train=False, with_loss=False)
+        state = {
+            "pc": out["pc"],
+            "K": batch["K"],
+            "pc_overlap_pred": out["pc_overlap_pred"],
+            "pc_geo_feat": out["pc_geo_feat"],
+            "img_geo_feat": out["img_geo_feat"],
+            "pc_in_cam_space": batch["pc_in_cam_space"],
+            "pc_mask": batch["pc_mask"],
+            "P": batch["P"],
+        }
+        pose_src, pose_tgt = init_poses(state)
+        pose_tgt = to_disentangled(pose_tgt, state["pc"])
+
+        def apply_fn(avars, o2, o3):
+            return agent.apply(avars, o2, o3, train=False)
+
+        final, _ = run_episode(apply_fn, av, state, pose_src, pose_tgt, cfg,
+                               deterministic=True)
+        return final
+
+    return batch_np, build_vars, episode
+
+
+def time_backend(device, cfg, batch_size: int, iters: int, warmup: int):
+    import jax
+    import jax.numpy as jnp
+
+    batch_np, build_vars, episode = build_workload(cfg, batch_size)
+
+    def step(gv, av, batch, shift):
+        final = episode(gv, av, batch, shift)
+        # scalar carried into the next iteration (serial dependency) —
+        # numerically negligible (~1e-11) but not removable by the compiler
+        return jnp.mean(final) * 1e-12
+
+    with jax.default_device(device):
+        batch = {k: jax.device_put(jnp.asarray(v), device)
+                 for k, v in batch_np.items()}
+        gv, av = build_vars(batch)
+        fn = jax.jit(step)
+        zero = jnp.zeros((), jnp.float32)
+        t_c0 = time.perf_counter()
+        float(fn(gv, av, batch, zero))  # readback forces real execution
+        compile_s = time.perf_counter() - t_c0
+        shift = zero
+        for _ in range(warmup):
+            shift = fn(gv, av, batch, shift)
+        float(shift)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            shift = fn(gv, av, batch, shift)
+        float(shift)  # host readback = hard synchronisation
+        dt = time.perf_counter() - t0
+    rate = batch_size * iters / dt
+    return rate, compile_s
+
+
+def main():
+    import jax
+    from cmr_agent_tpu.config import kitti_config
+
+    cfg = kitti_config()
+
+    tpu_devices = [d for d in jax.devices() if d.platform != "cpu"]
+    cpu_devices = jax.devices("cpu")
+
+    if tpu_devices:
+        tpu_rate, tpu_compile = time_backend(
+            tpu_devices[0], cfg, batch_size=8, iters=10, warmup=2)
+        log(f"TPU: {tpu_rate:.3f} pairs/s (compile {tpu_compile:.1f}s)")
+    else:
+        tpu_rate, tpu_compile = time_backend(
+            cpu_devices[0], cfg, batch_size=2, iters=2, warmup=1)
+        log(f"no TPU found; CPU stand-in rate {tpu_rate:.3f} pairs/s")
+
+    try:
+        cpu_rate, _ = time_backend(cpu_devices[0], cfg, batch_size=1,
+                                   iters=1, warmup=0)
+        log(f"CPU baseline: {cpu_rate:.4f} pairs/s")
+    except Exception as e:  # CPU backend may be absent under some runtimes
+        log(f"CPU baseline unavailable ({type(e).__name__}: {e})")
+        cpu_rate = None
+
+    vs_baseline = (tpu_rate / cpu_rate) if cpu_rate else None
+    print(json.dumps({
+        "metric": "kitti_episode_pairs_per_sec_per_chip",
+        "value": round(tpu_rate, 4),
+        "unit": "pairs/s",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

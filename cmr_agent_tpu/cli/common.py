@@ -1,0 +1,73 @@
+"""Shared CLI plumbing: config/dataset construction + seeding.
+
+The reference exposes a single ``--dataset {kitti,nuscenes}`` flag
+(Train_Geo.py:30-32); we add ``synthetic`` (no data on disk required),
+``--data-root``, batch/step overrides and a ``--tiny`` debug mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+
+import numpy as np
+
+from ..config import Config, kitti_config, nuscenes_config, tiny_config
+
+
+def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    p.add_argument("--dataset", default="kitti",
+                   choices=["kitti", "nuscenes", "synthetic"])
+    p.add_argument("--data-root", default="", help="dataset root directory")
+    p.add_argument("--tiny", action="store_true",
+                   help="miniature config for smoke runs")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--steps", type=int, default=None,
+                   help="cap optimizer steps (debug)")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--logdir", default=None)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--synthetic-length", type=int, default=64)
+    return p
+
+
+def build_config(args) -> Config:
+    overrides = {}
+    if args.batch_size is not None:
+        overrides["train_batch_size"] = args.batch_size
+        overrides["val_batch_size"] = args.batch_size
+    if args.epochs is not None:
+        overrides["epoch"] = args.epochs
+    if args.seed is not None:
+        overrides["seed"] = args.seed
+    if args.logdir is not None:
+        overrides["logdir"] = args.logdir
+    if args.ckpt_dir is not None:
+        overrides["ckpt_dir"] = args.ckpt_dir
+
+    if args.tiny:
+        return tiny_config(**overrides)
+    if args.dataset == "nuscenes":
+        return nuscenes_config(args.data_root, **overrides)
+    return kitti_config(args.data_root, **overrides)
+
+
+def build_dataset(cfg: Config, args, mode: str):
+    from ..data import KittiDataset, NuScenesDataset, SyntheticDataset
+    from ..native import get_fast_host_ops
+
+    fps_fn, nn_fn = get_fast_host_ops()
+    if args.dataset == "synthetic" or args.tiny:
+        seed = {"train": 0, "val": 1, "test": 2}[mode]
+        return SyntheticDataset(cfg, length=args.synthetic_length, seed=seed,
+                                fps_fn=fps_fn, nn_fn=nn_fn)
+    if args.dataset == "nuscenes":
+        return NuScenesDataset(cfg, mode, fps_fn=fps_fn, nn_fn=nn_fn)
+    return KittiDataset(cfg, mode, fps_fn=fps_fn, nn_fn=nn_fn)
+
+
+def set_seed(seed: int) -> None:
+    """Host-side RNG seeding (device RNG is explicit jax.random keys)."""
+    random.seed(seed)
+    np.random.seed(seed)

@@ -1,0 +1,104 @@
+"""Evaluate iterative agent registration (reference Test_Agent.py).
+
+Runs the full episode (geo forward + K deterministic refinement steps) per
+batch and reports Registration Recall, RTE/RRE mean/std and episode timing
+— the reference's headline metrics (Test_Agent.py:193-206).
+
+Usage::
+
+    python -m cmr_agent_tpu.cli.test_agent --dataset synthetic --tiny
+    python -m cmr_agent_tpu.cli.test_agent --dataset kitti --data-root ... \
+        --geo-ckpt .../geo_feat.pth --agent-ckpt .../agent.pth
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import DataLoader
+from ..models import CMRAgent
+from ..train import (create_agent_state, make_val_episode_fn,
+                     restore_checkpoint, registration_metrics,
+                     convert_torch_agent)
+from ..train.train_geo import make_geo_forward
+from .common import add_common_args, build_config, build_dataset, set_seed
+from .train_agent import load_geo_variables
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--geo-ckpt", default="")
+    p.add_argument("--agent-ckpt", default="",
+                   help="orbax checkpoint dir or reference agent.pth")
+    p.add_argument("--eval-batch-size", type=int, default=1,
+                   help="reference protocol uses 1; larger batches "
+                        "amortise the episode on TPU")
+    p.add_argument("--max-batches", type=int, default=0)
+    args = p.parse_args(argv)
+
+    cfg = build_config(args)
+    set_seed(cfg.seed)
+
+    test_ds = build_dataset(cfg, args, "test")
+    loader = DataLoader(test_ds, args.eval_batch_size, shuffle=False,
+                        num_workers=2)
+
+    first = next(iter(loader))
+    example = {k: jnp.asarray(v) for k, v in first.items()}
+    geo_vars = load_geo_variables(cfg, args, example)
+    geo_forward = make_geo_forward(cfg)
+
+    h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
+    agent_state = create_agent_state(
+        cfg, jnp.zeros((args.eval_batch_size, h, w, 2 * f)),
+        jnp.zeros((args.eval_batch_size, cfg.num_pt, 5)),
+        jax.random.key(0))
+    if args.agent_ckpt:
+        template = {"params": agent_state.params,
+                    "batch_stats": agent_state.batch_stats}
+        if args.agent_ckpt.endswith(".pth"):
+            loaded = convert_torch_agent(cfg, args.agent_ckpt, template)
+        else:
+            loaded = restore_checkpoint(args.agent_ckpt, template=template)
+        agent_state = agent_state.replace(params=loaded["params"],
+                                          batch_stats=loaded["batch_stats"])
+        print(f"loaded agent checkpoint from {args.agent_ckpt}")
+    else:
+        print("WARNING: no --agent-ckpt; using randomly initialised agent")
+
+    episode = make_val_episode_fn(cfg)
+
+    rte_all, rre_all, times = [], [], []
+    for i, batch in enumerate(loader):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        t0 = time.perf_counter()
+        geo_out = geo_forward(geo_vars["params"], geo_vars["batch_stats"],
+                              batch)
+        final, rte, rre = episode(agent_state, geo_out, batch)
+        jax.block_until_ready(final)
+        dt = time.perf_counter() - t0
+        times.append(dt / batch["pc"].shape[0])
+        rte_all += np.asarray(rte).tolist()
+        rre_all += np.asarray(rre).tolist()
+        if args.max_batches and i + 1 >= args.max_batches:
+            break
+
+    m = registration_metrics(np.array(rte_all), np.array(rre_all))
+    # first batch includes compile; report steady-state timing too
+    m["avg_episode_time_s"] = float(np.mean(times))
+    m["avg_episode_time_steady_s"] = float(np.mean(times[1:]) if
+                                           len(times) > 1 else times[0])
+    m["num_samples"] = len(rte_all)
+    print(json.dumps(m, indent=2))
+    return m
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""Train the refinement agent by imitation + PPO (reference Train_Agent.py).
+
+Loads a frozen geo checkpoint (orbax dir from train_geo, or a reference
+``geo_feat.pth`` via the weight converter), rolls out trajectories with the
+scan episode engine, and optimises BC+PPO.
+
+Usage::
+
+    python -m cmr_agent_tpu.cli.train_agent --dataset synthetic --tiny \
+        --steps 3                       # fresh random geo (smoke)
+    python -m cmr_agent_tpu.cli.train_agent --dataset kitti \
+        --geo-ckpt checkpoint/KITTI/geo_feat.pth --data-root ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import DataLoader, collate
+from ..env import TrajectoryBuffer
+from ..models import MultiHeadModel
+from ..train import (create_geo_state, create_agent_state, make_rollout_fn,
+                     make_ppo_update_step, make_val_episode_fn,
+                     save_checkpoint, restore_checkpoint, MetricLogger,
+                     convert_torch_multihead)
+from ..train.train_geo import make_geo_forward
+from .common import add_common_args, build_config, build_dataset, set_seed
+
+
+def load_geo_variables(cfg, args, example_batch):
+    """Init geo variables, then load a checkpoint (orbax dir or torch .pth)."""
+    model = MultiHeadModel(cfg)
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        example_batch, train=False, with_loss=False)
+    template = {"params": variables["params"],
+                "batch_stats": variables["batch_stats"]}
+    if args.geo_ckpt:
+        if args.geo_ckpt.endswith(".pth"):
+            loaded = convert_torch_multihead(cfg, args.geo_ckpt, template)
+        else:
+            loaded = restore_checkpoint(args.geo_ckpt, template=template)
+        template = {"params": loaded["params"],
+                    "batch_stats": loaded["batch_stats"]}
+        print(f"loaded geo checkpoint from {args.geo_ckpt}")
+    else:
+        print("WARNING: no --geo-ckpt; using randomly initialised geo model")
+    return template
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--geo-ckpt", default="",
+                   help="orbax checkpoint dir or reference geo_feat.pth")
+    p.add_argument("--reference-reward", action="store_true",
+                   help="reproduce the reference's degenerate (constant) "
+                        "reward instead of the fixed pose-applied reward")
+    args = p.parse_args(argv)
+
+    cfg = build_config(args)
+    set_seed(cfg.seed)
+
+    train_ds = build_dataset(cfg, args, "train")
+    val_ds = build_dataset(cfg, args, "val")
+    train_loader = DataLoader(train_ds, cfg.train_batch_size, shuffle=True,
+                              num_workers=2, seed=cfg.seed)
+    val_loader = DataLoader(val_ds, cfg.val_batch_size, shuffle=False,
+                            num_workers=2)
+
+    example = collate([train_ds[0]] * cfg.train_batch_size)
+    example = {k: jnp.asarray(v) for k, v in example.items()}
+    geo_vars = load_geo_variables(cfg, args, example)
+    geo_forward = make_geo_forward(cfg)
+
+    h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
+    agent_state = create_agent_state(
+        cfg, jnp.zeros((cfg.train_batch_size, h, w, 2 * f)),
+        jnp.zeros((cfg.train_batch_size, cfg.num_pt, 5)),
+        jax.random.key(cfg.seed),
+        steps_per_epoch=max(len(train_loader), 1))
+
+    rollout = make_rollout_fn(cfg, reward_apply_pose=not args.reference_reward)
+    update = make_ppo_update_step(cfg)
+    val_episode = make_val_episode_fn(cfg)
+
+    run_name = f"{args.dataset}_IL_{time.strftime('%m-%d-%H-%M')}"
+    logger = MetricLogger(os.path.join(cfg.logdir, run_name))
+    ckpt_dir = os.path.abspath(os.path.join(cfg.ckpt_dir, run_name))
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    buffer = TrajectoryBuffer(cfg.gamma, cfg.gae_lambda)
+    best_r, best_t = np.inf, np.inf
+    global_step = 0
+    rng = np.random.default_rng(cfg.seed)
+
+    for epoch in range(cfg.epoch):
+        train_loader.set_epoch(epoch)
+        for batch in train_loader:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+            # validation (Train_Agent.py:170-212)
+            if global_step % cfg.val_interval == 0 and len(val_loader):
+                err_t, err_r = [], []
+                for v_batch in val_loader:
+                    v_batch = {k: jnp.asarray(v) for k, v in v_batch.items()}
+                    v_out = geo_forward(geo_vars["params"],
+                                        geo_vars["batch_stats"], v_batch)
+                    _, rte, rre = val_episode(agent_state, v_out, v_batch)
+                    err_t += np.asarray(rte).tolist()
+                    err_r += np.asarray(rre).tolist()
+                new_r, new_t = float(np.mean(err_r)), float(np.mean(err_t))
+                logger.log("val_error/error_r", new_r, global_step)
+                logger.log("val_error/error_t", new_t, global_step)
+                if new_r < best_r or new_t < best_t:
+                    best_r, best_t = min(new_r, best_r), min(new_t, best_t)
+                    save_checkpoint(
+                        os.path.join(ckpt_dir,
+                                     f"epoch-{epoch}-step-{global_step}"),
+                        {"params": agent_state.params,
+                         "batch_stats": agent_state.batch_stats,
+                         "step": agent_state.step})
+                print(f"[val] step {global_step} RRE {new_r:.3f} "
+                      f"RTE {new_t:.3f} (best {best_r:.3f}/{best_t:.3f})")
+
+            geo_out = geo_forward(geo_vars["params"], geo_vars["batch_stats"],
+                                  batch)
+            traj, _, _ = rollout(agent_state, geo_out, batch,
+                                 jax.random.key(global_step))
+            buffer.add(jax.tree.map(np.asarray, traj))
+            logger.log("train_loss/reward",
+                       float(np.mean(np.asarray(traj["reward"]))), global_step)
+
+            if len(buffer) == cfg.num_trajectory:
+                samples = buffer.samples()
+                n = samples["state_2d"].shape[0]
+                order = rng.permutation(n)
+                bc_losses, ppo_losses = [], []
+                # full minibatches only: a ragged tail would retrace the jit
+                for s in range(0, n - cfg.ppo_batch_size + 1,
+                               cfg.ppo_batch_size):
+                    rows = order[s:s + cfg.ppo_batch_size]
+                    mb = {k: jnp.asarray(np.asarray(v)[rows])
+                          for k, v in samples.items()}
+                    agent_state, metrics = update(agent_state, mb)
+                    bc_losses.append(float(metrics["bc_loss"]))
+                    ppo_losses.append(float(metrics["ppo_loss"]))
+                logger.log("train_loss/BC_Loss", np.mean(bc_losses),
+                           global_step)
+                logger.log("train_loss/PPO_Loss", np.mean(ppo_losses),
+                           global_step)
+                buffer.clear()
+
+            global_step += 1
+            if args.steps and global_step >= args.steps:
+                print(f"step cap reached ({args.steps})")
+                logger.close()
+                return agent_state
+        print(f"epoch {epoch} done")
+    logger.close()
+    return agent_state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Train the one-shot geo model (reference Train_Geo.py equivalent).
+
+Usage::
+
+    python -m cmr_agent_tpu.cli.train_geo --dataset kitti --data-root ...
+    python -m cmr_agent_tpu.cli.train_geo --dataset synthetic --tiny --steps 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import DataLoader, collate
+from ..train import (create_geo_state, make_geo_train_step,
+                     make_geo_eval_step, save_checkpoint, MetricLogger)
+from .common import add_common_args, build_config, build_dataset, set_seed
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    args = p.parse_args(argv)
+
+    cfg = build_config(args)
+    set_seed(cfg.seed)
+
+    train_ds = build_dataset(cfg, args, "train")
+    val_ds = build_dataset(cfg, args, "val")
+    train_loader = DataLoader(train_ds, cfg.train_batch_size, shuffle=True,
+                              num_workers=2, seed=cfg.seed)
+    val_loader = DataLoader(val_ds, cfg.val_batch_size, shuffle=False,
+                            num_workers=2)
+
+    example = collate([train_ds[0]] * cfg.train_batch_size)
+    example = {k: jnp.asarray(v) for k, v in example.items()}
+    state = create_geo_state(cfg, example, jax.random.key(cfg.seed),
+                             steps_per_epoch=max(len(train_loader), 1))
+    train_step = make_geo_train_step(cfg)
+    eval_step = make_geo_eval_step(cfg)
+
+    run_name = f"{args.dataset}_{cfg.num_pt}_{time.strftime('%m-%d-%H-%M')}"
+    logger = MetricLogger(os.path.join(cfg.logdir, run_name))
+    ckpt_dir = os.path.abspath(os.path.join(cfg.ckpt_dir, run_name))
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    global_step, best_loss = 0, float("inf")
+    for epoch in range(cfg.epoch):
+        train_loader.set_epoch(epoch)
+        for batch in train_loader:
+            if global_step % cfg.val_interval == 0 and len(val_loader):
+                val_metrics = []
+                for v_batch in val_loader:
+                    v_batch = {k: jnp.asarray(v) for k, v in v_batch.items()}
+                    val_metrics.append(
+                        {k: float(v) for k, v in eval_step(state, v_batch).items()})
+                mean = {k: float(np.mean([m[k] for m in val_metrics]))
+                        for k in val_metrics[0]}
+                logger.log_dict(mean, global_step, prefix="val/")
+                if np.isfinite(mean["loss"]) and mean["loss"] < best_loss:
+                    best_loss = mean["loss"]
+                save_checkpoint(
+                    os.path.join(ckpt_dir, f"epoch-{epoch}-step-{global_step}"),
+                    {"params": state.params, "batch_stats": state.batch_stats,
+                     "step": state.step})
+                print(f"[val] step {global_step} loss {mean['loss']:.4f} "
+                      f"(best {best_loss:.4f})")
+
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            state, metrics = train_step(state, batch,
+                                        jax.random.key(global_step))
+            logger.log_dict({k: float(v) for k, v in metrics.items()},
+                            global_step, prefix="train/")
+            global_step += 1
+            if args.steps and global_step >= args.steps:
+                print(f"step cap reached ({args.steps}); final loss "
+                      f"{float(metrics['loss']):.4f}")
+                logger.close()
+                return state
+        print(f"epoch {epoch} done")
+    logger.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -67,7 +67,8 @@ def sample_pose_grid(r_amplitude, t_amplitude, nlabel: int):
 
 class IterModel(nn.Module):
     cfg: Config
-    pose_chunk: int = 27  # lax.map chunk bounding the scatter working set
+    pose_chunk: int = 27   # CPU path: lax.map chunk bounding the working set
+    warp_topk: int = 8192  # TPU path: static point-compaction bound
 
     @nn.compact
     def __call__(self, state, train: bool = False, with_loss: bool = True):
@@ -108,6 +109,48 @@ class IterModel(nn.Module):
         feat = state["pc_geo_feat"]
         scores = state["pc_is_in_cam_scores"]
 
+        from ..ops.pallas_kernels import (segment_sum_fused_shared,
+                                          use_pallas_default)
+
+        def warp_fused():
+            """TPU path: compact to the top-K masked points, project under
+            all hypotheses, aggregate with the shared-data one-hot kernel
+            (XLA scatters are not viable on this runtime)."""
+            k_pts = min(self.warp_topk, n_pts)
+            # top-K by overlap score among masked points; -1 sinks unmasked
+            sel_scores = jnp.where(mask, scores, -1.0)
+            _, sel = jax.lax.top_k(sel_scores, k_pts)          # [B, K]
+            take = lambda x: jnp.take_along_axis(
+                x, sel[..., None] if x.ndim == 3 else sel, axis=1)
+            pc_k = take(pc)                                    # [B, K, 3]
+            feat_k = take(feat)                                # [B, K, F]
+            scores_k = take(scores)                            # [B, K]
+            mask_k = jnp.take_along_axis(mask, sel, axis=1)    # [B, K]
+
+            R = poses[..., :3, :3]
+            t = poses[..., :3, 3]
+            pc_w = (jnp.einsum("bpij,bkj->bpki", R, pc_k)
+                    + t[:, :, None, :])                        # [B, P, K, 3]
+            proj = jnp.einsum("bij,bpkj->bpki", K, pc_w)
+            z = proj[..., 2]
+            xy = proj[..., :2] / jnp.where(jnp.abs(z[..., None]) < 1e-10,
+                                           1e-10, z[..., None])
+            in_cam = ((xy[..., 0] >= 0) & (xy[..., 0] <= w - 1)
+                      & (xy[..., 1] >= 0) & (xy[..., 1] <= h - 1) & (z > 0))
+            valid = in_cam & mask_k[:, None, :]
+            xi = jnp.round(xy[..., 0]).astype(jnp.int32)
+            yi = jnp.round(xy[..., 1]).astype(jnp.int32)
+            ids = jnp.where(valid, yi * w + xi, npix)          # routed out
+
+            aug = jnp.concatenate(
+                [feat_k, scores_k[..., None],
+                 jnp.ones_like(scores_k)[..., None]], axis=-1)  # [B, K, F+2]
+            sums = segment_sum_fused_shared(aug, ids, npix)     # [B,P,npix,F+2]
+            counts = sums[..., -1]
+            wf = sums[..., :f] / jnp.maximum(counts[..., None], 1.0)
+            occ = sums[..., f]
+            return wf, occ
+
         def warp_chunk(pose_chunk):
             """pose_chunk [B, C, 4, 4] -> (mean feat [B,C,npix,F], occ [B,C,npix])."""
             R = pose_chunk[..., :3, :3]
@@ -139,18 +182,22 @@ class IterModel(nn.Module):
 
             return jax.vmap(per_b)(ids, valid, feat, scores)
 
-        n_chunk = max(1, self.pose_chunk)
-        assert n_pose % n_chunk == 0 or n_chunk >= n_pose, (
-            "pose_chunk must divide nlabel^3")
-        if n_chunk >= n_pose:
-            warped_feat, occupancy = warp_chunk(poses)
+        if use_pallas_default():
+            warped_feat, occupancy = warp_fused()
         else:
-            chunks = poses.reshape(b, n_pose // n_chunk, n_chunk, 4, 4)
-            chunks = jnp.swapaxes(chunks, 0, 1)  # [n_chunks, B, C, 4, 4]
-            warped_feat, occupancy = jax.lax.map(warp_chunk, chunks)
-            warped_feat = jnp.swapaxes(warped_feat, 0, 1).reshape(
-                b, n_pose, npix, f)
-            occupancy = jnp.swapaxes(occupancy, 0, 1).reshape(b, n_pose, npix)
+            n_chunk = max(1, self.pose_chunk)
+            assert n_pose % n_chunk == 0 or n_chunk >= n_pose, (
+                "pose_chunk must divide nlabel^3")
+            if n_chunk >= n_pose:
+                warped_feat, occupancy = warp_chunk(poses)
+            else:
+                chunks = poses.reshape(b, n_pose // n_chunk, n_chunk, 4, 4)
+                chunks = jnp.swapaxes(chunks, 0, 1)  # [n_chunks, B, C, 4, 4]
+                warped_feat, occupancy = jax.lax.map(warp_chunk, chunks)
+                warped_feat = jnp.swapaxes(warped_feat, 0, 1).reshape(
+                    b, n_pose, npix, f)
+                occupancy = jnp.swapaxes(occupancy, 0, 1).reshape(
+                    b, n_pose, npix)
 
         warped_feat = warped_feat.reshape(b, n_pose, h, w, f)
         occupancy = occupancy.reshape(b, n_pose, h, w, 1)

@@ -1,0 +1,316 @@
+"""Pallas TPU kernels for the hot ops.
+
+``segment_softmax_attend_fused`` — the GroupPointTransformer group softmax
+(reference models/PointNN.py:167-182, three torch_scatter CUDA calls + two
+gathers). TPU redesign: instead of scatters, each point tile builds a
+``[M, T]`` one-hot assignment block in VMEM and accumulates
+
+    sumexp  += onehot @ exp(attn - gmax)
+    out     += onehot @ (exp(attn - gmax) * values)
+
+on the MXU, dividing on the last tile. Numerically this uses a *global
+per-channel* max for stabilisation instead of the per-group max: softmax is
+invariant to any shift that is constant within a (group, channel), and a
+global channel max is constant within every group, so the result is exact
+(worst case: exps as small as ``exp(-range)``, safe in f32 for any sane
+activation range). The per-group sums are returned as residuals for the
+closed-form backward (plain XLA gathers).
+
+The kernel accumulates directly into its output blocks (constant index
+map -> blocks stay VMEM-resident across the sequential TPU grid).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel(gmax_ref, attn_ref, val_ref, idx_ref, out_ref, sum_ref):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        sum_ref[:] = jnp.zeros_like(sum_ref)
+
+    attn = attn_ref[0]                       # [T, F]
+    val = val_ref[0]                         # [T, F]
+    ex = jnp.exp(attn - gmax_ref[0])         # [T, F]
+
+    m_pad = out_ref.shape[1]
+    tile = attn.shape[0]
+    seg = jax.lax.broadcasted_iota(jnp.int32, (m_pad, tile), 0)
+    onehot = (seg == idx_ref[0]).astype(jnp.float32)   # [M, T]
+
+    sum_ref[0] += jnp.dot(onehot, ex, preferred_element_type=jnp.float32)
+    out_ref[0] += jnp.dot(onehot, ex * val,
+                          preferred_element_type=jnp.float32)
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        out_ref[0] = out_ref[0] / jnp.maximum(sum_ref[0], 1e-30)
+
+
+def _fused_forward(attn, values, idx, num_segments: int, tile: int,
+                   interpret: bool):
+    """attn/values [B,N,F] f32, idx [B,N] int32 -> (out [B,M,F], sumexp)."""
+    b, n, f = attn.shape
+    m_pad = _round_up(num_segments, 8)
+    tile = min(tile, n)
+    if n % tile != 0:
+        pad = _round_up(n, tile) - n
+        attn = jnp.pad(attn, ((0, 0), (0, pad), (0, 0)))
+        values = jnp.pad(values, ((0, 0), (0, pad), (0, 0)))
+        # padded points route to a row beyond every real segment
+        idx = jnp.pad(idx, ((0, 0), (0, pad)),
+                      constant_values=np.int32(m_pad - 1)
+                      if m_pad > num_segments else np.int32(m_pad))
+        n = attn.shape[1]
+    n_tiles = n // tile
+
+    # Guard: if m_pad == num_segments there is no spare row for padding
+    # points; route them to an out-of-range id (one-hot row never matches).
+    gmax = jnp.max(attn, axis=1, keepdims=True)          # [B, 1, F]
+    idx3 = idx[:, None, :].astype(jnp.int32)             # [B, 1, N]
+
+    grid = (b, n_tiles)
+    out, sumexp = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, f), lambda bb, tt: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, f), lambda bb, tt: (bb, tt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, f), lambda bb, tt: (bb, tt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda bb, tt: (bb, 0, tt),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, m_pad, f), lambda bb, tt: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_pad, f), lambda bb, tt: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, m_pad, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, m_pad, f), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gmax, attn, values, idx3)
+    return out[:, :num_segments], sumexp[:, :num_segments], gmax
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def segment_softmax_attend_fused(attn, values, idx, num_segments: int,
+                                 tile: int = 512, interpret: bool = False):
+    """Fused batched segmented softmax-attend.
+
+    Drop-in for :func:`cmr_agent_tpu.ops.scatter.
+    batched_segment_softmax_attend` with shapes ``[B, N, F] x [B, N] ->
+    [B, M, F]``.
+    """
+    out, _, _ = _fused_forward(attn, values, idx, num_segments, tile,
+                               interpret)
+    return out
+
+
+def _fwd(attn, values, idx, num_segments, tile, interpret):
+    out, sumexp, gmax = _fused_forward(attn, values, idx, num_segments,
+                                       tile, interpret)
+    return out, (attn, values, idx, out, sumexp, gmax)
+
+
+def _bwd(num_segments, tile, interpret, res, g):
+    attn, values, idx, out, sumexp, gmax = res
+    # w_i = exp(attn_i - gmax) / sumexp[seg(i)]  (channel-wise)
+    take = lambda table: jnp.take_along_axis(
+        table, idx[:, :, None].astype(jnp.int32), axis=1)
+    s_at = jnp.maximum(take(sumexp), 1e-30)
+    w = jnp.exp(attn - gmax) / s_at                      # [B, N, F]
+    g_at = take(g)                                       # [B, N, F]
+    dvalues = w * g_at
+    dattn = w * g_at * (values - take(out))
+    didx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return dattn, dvalues, didx
+
+
+segment_softmax_attend_fused.defvjp(_fwd, _bwd)
+
+
+def use_pallas_default() -> bool:
+    """Pallas kernels run compiled on TPU only; XLA path elsewhere.
+
+    On this TPU runtime the XLA scatter lowering is catastrophically slow
+    (hundreds of seconds for a single 4096-point segmented softmax), so on
+    TPU the fused matmul kernels are the only viable path, not merely an
+    optimisation.
+    """
+    return jax.default_backend() == "tpu"
+
+
+# --------------------------------------------------------------------------
+# Fused segment-sum (+count): one-hot matmul accumulation, no scatters.
+# --------------------------------------------------------------------------
+
+def _sum_kernel(data_ref, idx_ref, sum_ref):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        sum_ref[:] = jnp.zeros_like(sum_ref)
+
+    data = data_ref[0]                        # [T, F]
+    m_pad = sum_ref.shape[1]
+    tile = data.shape[0]
+    seg = jax.lax.broadcasted_iota(jnp.int32, (m_pad, tile), 0)
+    onehot = (seg == idx_ref[0]).astype(jnp.float32)
+    sum_ref[0] += jnp.dot(onehot, data, preferred_element_type=jnp.float32)
+
+
+def _segment_sum_fused_impl(data, idx, num_segments: int, tile: int,
+                            interpret: bool):
+    """data [B,N,F] f32, idx [B,N] -> sums [B,M,F]."""
+    b, n, f = data.shape
+    m_pad = _round_up(num_segments, 8)
+    tile = min(tile, n)
+    if n % tile != 0:
+        pad = _round_up(n, tile) - n
+        data = jnp.pad(data, ((0, 0), (0, pad), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, pad)),
+                      constant_values=np.int32(m_pad))  # never matches
+        n = data.shape[1]
+    n_tiles = n // tile
+    idx3 = idx[:, None, :].astype(jnp.int32)
+
+    out = pl.pallas_call(
+        _sum_kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, f), lambda bb, tt: (bb, tt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda bb, tt: (bb, 0, tt),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, m_pad, f), lambda bb, tt: (bb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, m_pad, f), jnp.float32),
+        interpret=interpret,
+    )(data, idx3)
+    return out[:, :num_segments]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def segment_sum_fused(data, idx, num_segments: int, tile: int = 512,
+                      interpret: bool = False):
+    """Batched segment sum ``[B,N,F] x [B,N] -> [B,M,F]`` without scatters.
+
+    Invalid/padded points can be routed out by giving them ``idx >=
+    num_segments``.
+    """
+    return _segment_sum_fused_impl(data, idx, num_segments, tile, interpret)
+
+
+def _sum_fwd(data, idx, num_segments, tile, interpret):
+    out = _segment_sum_fused_impl(data, idx, num_segments, tile, interpret)
+    return out, idx
+
+
+def _sum_bwd(num_segments, tile, interpret, idx, g):
+    # linear op: d_data = g[seg(i)], zero for routed-out points
+    safe = jnp.clip(idx, 0, num_segments - 1).astype(jnp.int32)
+    gathered = jnp.take_along_axis(g, safe[:, :, None], axis=1)
+    valid = (idx >= 0) & (idx < num_segments)
+    d_data = jnp.where(valid[:, :, None], gathered, 0.0)
+    return d_data, np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+segment_sum_fused.defvjp(_sum_fwd, _sum_bwd)
+
+
+def _shared_sum_kernel(data_ref, idx_ref, sum_ref):
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        sum_ref[:] = jnp.zeros_like(sum_ref)
+
+    data = data_ref[0]                        # [T, F] (shared across poses)
+    m_pad = sum_ref.shape[2]
+    tile = data.shape[0]
+    seg = jax.lax.broadcasted_iota(jnp.int32, (m_pad, tile), 0)
+    onehot = (seg == idx_ref[0, 0]).astype(jnp.float32)
+    sum_ref[0, 0] += jnp.dot(onehot, data,
+                             preferred_element_type=jnp.float32)
+
+
+def segment_sum_fused_shared(data, idx, num_segments: int, tile: int = 256,
+                             interpret: bool = False):
+    """Multi-hypothesis segment sum with shared data.
+
+    The cost-volume warp (reference models/IterModel.py:327-351) aggregates
+    the SAME per-point features under P different pose-dependent pixel
+    assignments. Sharing the data blocks across the hypothesis grid axis
+    avoids materialising ``[P, N, F]``.
+
+    Args:
+      data: ``[B, N, F]``.
+      idx:  ``[B, P, N]`` (``>= num_segments`` routes a point out).
+    Returns:
+      ``[B, P, M, F]`` sums.
+    """
+    b, n, f = data.shape
+    p = idx.shape[1]
+    m_pad = _round_up(num_segments, 8)
+    tile = min(tile, n)
+    if n % tile != 0:
+        pad = _round_up(n, tile) - n
+        data = jnp.pad(data, ((0, 0), (0, pad), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, pad)),
+                      constant_values=np.int32(m_pad))
+        n = data.shape[1]
+    n_tiles = n // tile
+    idx4 = idx[:, :, None, :].astype(jnp.int32)          # [B, P, 1, N]
+
+    out = pl.pallas_call(
+        _shared_sum_kernel,
+        grid=(b, p, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, f), lambda bb, pp, tt: (bb, tt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, tile), lambda bb, pp, tt: (bb, pp, 0, tt),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, m_pad, f),
+                               lambda bb, pp, tt: (bb, pp, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, p, m_pad, f), jnp.float32),
+        interpret=interpret,
+    )(data, idx4)
+    return out[:, :, :num_segments]
+
+
+def segment_mean_count_fused(data, idx, num_segments: int, tile: int = 512,
+                             interpret: bool = False):
+    """Batched segment mean + counts: ``-> (means [B,M,F], counts [B,M])``.
+
+    Count rides along as an extra all-ones channel so a single kernel pass
+    produces both. Empty segments mean 0 (torch_scatter semantics).
+    """
+    ones = jnp.ones(data.shape[:2] + (1,), data.dtype)
+    aug = jnp.concatenate([data, ones], axis=-1)
+    sums = segment_sum_fused(aug, idx, num_segments, tile, interpret)
+    counts = sums[..., -1]
+    means = sums[..., :-1] / jnp.maximum(counts[..., None], 1.0)
+    return means, counts

@@ -1,0 +1,131 @@
+"""Fused segmented-softmax kernel: parity + gradients vs the XLA path.
+
+Runs in Pallas interpret mode on CPU; the same kernel compiles on TPU.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cmr_agent_tpu.ops.scatter import batched_segment_softmax_attend
+from cmr_agent_tpu.ops.pallas_kernels import segment_softmax_attend_fused
+
+
+def _data(b=2, n=600, f=8, m=37, seed=0):
+    rng = np.random.default_rng(seed)
+    attn = jnp.array(rng.normal(size=(b, n, f)) * 3, jnp.float32)
+    values = jnp.array(rng.normal(size=(b, n, f)), jnp.float32)
+    idx = jnp.array(rng.integers(0, m, size=(b, n)), jnp.int32)
+    return attn, values, idx, m
+
+
+def test_fused_forward_matches_xla():
+    attn, values, idx, m = _data()
+    want = batched_segment_softmax_attend(attn, values, idx, m)
+    got = segment_softmax_attend_fused(attn, values, idx, m, 256, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_forward_ragged_tiles_and_exact_m():
+    # n not a multiple of tile AND m a multiple of 8 (no spare pad row)
+    attn, values, idx, m = _data(b=1, n=500, f=8, m=16, seed=1)
+    want = batched_segment_softmax_attend(attn, values, idx, m)
+    got = segment_softmax_attend_fused(attn, values, idx, m, 128, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_gradients_match_xla():
+    attn, values, idx, m = _data(b=1, n=256, f=4, m=9, seed=2)
+
+    def loss_xla(a, v):
+        out = batched_segment_softmax_attend(a, v, idx, m)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_fused(a, v):
+        out = segment_softmax_attend_fused(a, v, idx, m, 128, True)
+        return jnp.sum(out * jnp.cos(out))
+
+    ga_x, gv_x = jax.grad(loss_xla, argnums=(0, 1))(attn, values)
+    ga_f, gv_f = jax.grad(loss_fused, argnums=(0, 1))(attn, values)
+    np.testing.assert_allclose(np.asarray(ga_f), np.asarray(ga_x),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gv_f), np.asarray(gv_x),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_empty_segments_zero():
+    rng = np.random.default_rng(3)
+    attn = jnp.array(rng.normal(size=(1, 64, 4)), jnp.float32)
+    values = jnp.array(rng.normal(size=(1, 64, 4)), jnp.float32)
+    idx = jnp.zeros((1, 64), jnp.int32)  # everything in segment 0
+    out = segment_softmax_attend_fused(attn, values, idx, 5, 64, True)
+    assert np.allclose(np.asarray(out[0, 1:]), 0.0)
+    want = batched_segment_softmax_attend(attn, values, idx, 5)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(want[0, 0]),
+                               rtol=1e-5)
+
+
+def test_segment_sum_fused_and_shared():
+    from cmr_agent_tpu.ops.pallas_kernels import (
+        segment_sum_fused, segment_mean_count_fused, segment_sum_fused_shared)
+    rng = np.random.default_rng(4)
+    b, n, f, m, p = 2, 300, 8, 21, 3
+    data = jnp.array(rng.normal(size=(b, n, f)), jnp.float32)
+    # include routed-out points (id == m)
+    idx = jnp.array(rng.integers(0, m + 1, size=(b, n)), jnp.int32)
+
+    got = segment_sum_fused(data, idx, m, 128, True)
+    want = np.zeros((b, m, f))
+    for bb in range(b):
+        for i in range(n):
+            if idx[bb, i] < m:
+                want[bb, idx[bb, i]] += np.asarray(data[bb, i])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+    means, counts = segment_mean_count_fused(data, idx, m, 128, True)
+    cnt = np.zeros((b, m))
+    for bb in range(b):
+        for i in range(n):
+            if idx[bb, i] < m:
+                cnt[bb, idx[bb, i]] += 1
+    np.testing.assert_allclose(np.asarray(counts), cnt)
+    np.testing.assert_allclose(
+        np.asarray(means), want / np.maximum(cnt, 1)[..., None],
+        rtol=1e-4, atol=1e-4)
+
+    # shared data, per-hypothesis ids
+    idx_p = jnp.array(rng.integers(0, m + 1, size=(b, p, n)), jnp.int32)
+    got = segment_sum_fused_shared(data, idx_p, m, 128, True)
+    for pp in range(p):
+        want = np.zeros((b, m, f))
+        for bb in range(b):
+            for i in range(n):
+                if idx_p[bb, pp, i] < m:
+                    want[bb, idx_p[bb, pp, i]] += np.asarray(data[bb, i])
+        np.testing.assert_allclose(np.asarray(got[:, pp]), want,
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_segment_sum_fused_gradient():
+    from cmr_agent_tpu.ops.pallas_kernels import segment_sum_fused
+    rng = np.random.default_rng(5)
+    data = jnp.array(rng.normal(size=(1, 100, 4)), jnp.float32)
+    idx = jnp.array(rng.integers(0, 8, size=(1, 100)), jnp.int32)
+
+    def loss(d):
+        out = segment_sum_fused(d, idx, 7, 64, True)  # id 7 routed out
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(data)
+    # oracle: d_loss/d_data_i = 2 * sum[seg(i)] for seg < 7 else 0
+    out = np.zeros((7, 4))
+    for i in range(100):
+        if idx[0, i] < 7:
+            out[idx[0, i]] += np.asarray(data[0, i])
+    want = np.zeros((100, 4))
+    for i in range(100):
+        if idx[0, i] < 7:
+            want[i] = 2 * out[idx[0, i]]
+    np.testing.assert_allclose(np.asarray(g[0]), want, rtol=1e-4, atol=1e-4)

@@ -156,7 +156,13 @@ def use_pallas_default() -> bool:
     (hundreds of seconds for a single 4096-point segmented softmax), so on
     TPU the fused matmul kernels are the only viable path, not merely an
     optimisation.
+
+    Honours ``jax.default_device`` overrides (e.g. a CPU-baseline run inside
+    a TPU process), falling back to the process default backend.
     """
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", "cpu") != "cpu"
     return jax.default_backend() == "tpu"
 
 

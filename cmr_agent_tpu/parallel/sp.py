@@ -1,0 +1,54 @@
+"""Sequence-parallel linear attention (Ulysses-style over ICI).
+
+The reference tames its long token axes algorithmically — 40960 points ->
+1280 nodes -> 256 proxies and O(N) linear attention for the 5120-pixel x
+1280-node fine stage (SURVEY.md §5). The TPU scale-out path shards those
+token axes across chips: for linear attention the KV accumulator
+
+    KV = sum_s K_s^T V_s          (outer product over the context axis)
+
+is a plain reduction, so with queries sharded on one token axis and
+keys/values sharded on another, each chip computes its partial ``KV`` /
+``K``-sum, ``psum``s them over ICI (O(H*D*D) bytes — independent of
+sequence length), and finishes its own query shard locally. No
+ring/all-to-all needed; comm volume is constant in N.
+
+This module provides the sharded message computation used by
+``LinearAttention`` and a standalone functional form for testing on a
+virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+
+def linear_attention_message(q, k, v, eps: float = 1e-6):
+    """Unsharded reference: q [B,L,H,D], k/v [B,S,H,D] (feature-mapped).
+
+    Matches the einsum core of reference models/LinearAttention.py:53-60
+    (the value pre-scaling / re-scaling by S cancels and is omitted here).
+    """
+    kv = jnp.einsum("bshd,bshv->bhdv", k, v)
+    z = 1.0 / (jnp.einsum("blhd,bhd->blh", q, k.sum(axis=1)) + eps)
+    return jnp.einsum("blhd,bhdv,blh->blhv", q, kv, z)
+
+
+def sp_linear_attention_message(q, k, v, mesh: Mesh, axis: str = "sp",
+                                eps: float = 1e-6):
+    """Sequence-parallel message: q sharded on L, k/v sharded on S, both over
+    ``mesh[axis]``. Output is sharded on L like q.
+    """
+
+    def local(q_l, k_l, v_l):
+        kv = jax.lax.psum(jnp.einsum("bshd,bshv->bhdv", k_l, v_l), axis)
+        ksum = jax.lax.psum(k_l.sum(axis=1), axis)
+        z = 1.0 / (jnp.einsum("blhd,bhd->blh", q_l, ksum) + eps)
+        return jnp.einsum("blhd,bhdv,blh->blhv", q_l, kv, z)
+
+    spec = P(None, axis, None, None)
+    return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec)(q, k, v)

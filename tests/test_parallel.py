@@ -1,0 +1,64 @@
+"""Parallelism tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from cmr_agent_tpu.config import tiny_config
+from cmr_agent_tpu.data import SyntheticDataset, collate
+from cmr_agent_tpu.parallel import make_mesh, replicate, batch_sharding
+from cmr_agent_tpu.parallel.mesh import shard_geo_batch
+from cmr_agent_tpu.parallel.sp import (linear_attention_message,
+                                       sp_linear_attention_message)
+from cmr_agent_tpu.train import create_geo_state, make_geo_train_step
+
+CFG = tiny_config(train_batch_size=8)
+
+
+def test_dp_train_step_matches_single_device():
+    ds = SyntheticDataset(CFG, length=8)
+    batch = collate([ds[i] for i in range(8)])
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    state = create_geo_state(CFG, batch, jax.random.key(0))
+    step = make_geo_train_step(CFG)
+    _, m_single = step(state, batch, jax.random.key(1))
+
+    mesh = make_mesh((4, 2), ("dp", "sp"))
+    state2 = create_geo_state(CFG, batch, jax.random.key(0))
+    state2 = state2.replace(params=replicate(state2.params, mesh),
+                            batch_stats=replicate(state2.batch_stats, mesh),
+                            opt_state=replicate(state2.opt_state, mesh))
+    sharded = shard_geo_batch(batch, mesh, use_sp=True)
+    _, m_sharded = step(state2, sharded, jax.random.key(1))
+
+    # identical math, modulo reduction order
+    np.testing.assert_allclose(float(m_single["loss"]),
+                               float(m_sharded["loss"]), rtol=1e-4)
+
+
+def test_sp_linear_attention_matches_unsharded():
+    rng = np.random.default_rng(0)
+    b, l, s, h, d = 2, 64, 40, 4, 8
+    q = jnp.array(np.abs(rng.normal(size=(b, l, h, d))) + 0.5, jnp.float32)
+    k = jnp.array(np.abs(rng.normal(size=(b, s, h, d))) + 0.5, jnp.float32)
+    v = jnp.array(rng.normal(size=(b, s, h, d)), jnp.float32)
+
+    want = linear_attention_message(q, k, v)
+
+    mesh = make_mesh((8,), ("sp",))
+    spec = NamedSharding(mesh, P(None, "sp", None, None))
+    q_s = jax.device_put(q, spec)
+    k_s = jax.device_put(k, spec)
+    v_s = jax.device_put(v, spec)
+    got = sp_linear_attention_message(q_s, k_s, v_s, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_batch_sharding_layout():
+    mesh = make_mesh((8,), ("dp",))
+    x = jnp.zeros((8, 16, 3))
+    sharded = jax.device_put(x, batch_sharding(mesh, x.ndim))
+    assert sharded.sharding.spec == P("dp", None, None)

@@ -59,6 +59,8 @@ def main(argv=None):
     add_common_args(p)
     p.add_argument("--geo-ckpt", default="",
                    help="orbax checkpoint dir or reference geo_feat.pth")
+    p.add_argument("--resume", default="",
+                   help="orbax agent checkpoint dir to resume from")
     p.add_argument("--reference-reward", action="store_true",
                    help="reproduce the reference's degenerate (constant) "
                         "reward instead of the fixed pose-applied reward")
@@ -85,6 +87,15 @@ def main(argv=None):
         jnp.zeros((cfg.train_batch_size, cfg.num_pt, 5)),
         jax.random.key(cfg.seed),
         steps_per_epoch=max(len(train_loader), 1))
+    if args.resume:
+        tpl = {"params": agent_state.params,
+               "batch_stats": agent_state.batch_stats,
+               "step": agent_state.step}
+        restored = restore_checkpoint(args.resume, template=tpl)
+        agent_state = agent_state.replace(params=restored["params"],
+                                          batch_stats=restored["batch_stats"],
+                                          step=restored["step"])
+        print(f"resumed agent from {args.resume}")
 
     rollout = make_rollout_fn(cfg, reward_apply_pose=not args.reference_reward)
     update = make_ppo_update_step(cfg)

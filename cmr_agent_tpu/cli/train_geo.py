@@ -25,6 +25,8 @@ from .common import add_common_args, build_config, build_dataset, set_seed
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
+    p.add_argument("--resume", default="",
+                   help="orbax checkpoint dir to resume params/stats from")
     args = p.parse_args(argv)
 
     cfg = build_config(args)
@@ -41,6 +43,15 @@ def main(argv=None):
     example = {k: jnp.asarray(v) for k, v in example.items()}
     state = create_geo_state(cfg, example, jax.random.key(cfg.seed),
                              steps_per_epoch=max(len(train_loader), 1))
+    if args.resume:
+        from ..train import restore_checkpoint
+        tpl = {"params": state.params, "batch_stats": state.batch_stats,
+               "step": state.step}
+        restored = restore_checkpoint(args.resume, template=tpl)
+        state = state.replace(params=restored["params"],
+                              batch_stats=restored["batch_stats"],
+                              step=restored["step"])
+        print(f"resumed from {args.resume} at step {int(state.step)}")
     train_step = make_geo_train_step(cfg)
     eval_step = make_geo_eval_step(cfg)
 

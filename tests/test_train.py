@@ -107,3 +107,32 @@ def test_metric_logger(tmp_path):
     m = registration_metrics(np.array([1.0, 20.0]), np.array([2.0, 3.0]))
     assert m["registration_recall"] == 0.5
     assert m["rte_mean"] == 1.0
+
+
+def test_agent_bc_learns_on_fixed_rollout():
+    """Integration: repeated BC/PPO updates on one trajectory set reduce the
+    behavior-cloning loss (the agent learns to imitate the expert)."""
+    batch = _batch()
+    geo_state = create_geo_state(CFG, batch, jax.random.key(0))
+    fwd = make_geo_forward(CFG)
+    geo_out = fwd(geo_state.params, geo_state.batch_stats, batch)
+
+    h, w, f = CFG.image_h, CFG.image_w, CFG.embed_dim
+    agent_state = create_agent_state(
+        CFG, jnp.zeros((2, h, w, 2 * f)), jnp.zeros((2, CFG.num_pt, 5)),
+        jax.random.key(1))
+
+    rollout = make_rollout_fn(CFG)
+    traj, _, _ = rollout(agent_state, geo_out, batch, jax.random.key(2))
+    buf = TrajectoryBuffer(CFG.gamma, CFG.gae_lambda)
+    buf.add(traj)
+    samples = buf.samples()
+    mb = {k: v[: CFG.action_num * 2] for k, v in samples.items()}
+
+    update = make_ppo_update_step(CFG)
+    losses = []
+    for _ in range(6):
+        agent_state, metrics = update(agent_state, mb)
+        losses.append(float(metrics["bc_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

@@ -274,3 +274,31 @@ def test_discounted_and_gae_match_reference_recursion():
                                     0.9, 0.0)).ravel()
     rets = np.asarray(discounted_returns(jnp.array(rewards), 0.9)).ravel()
     np.testing.assert_allclose(adv0, rets - values.ravel(), rtol=1e-5)
+
+
+def test_expert_episode_converges():
+    """Driving the environment with the EXPERT's own actions must register
+    the cloud: after K steps RTE/RRE collapse. Validates the full loop
+    (expert extraction -> discrete step tables -> left-composition ->
+    disentangled pose semantics) end-to-end."""
+    from cmr_agent_tpu.ops import pose_diff
+    cfg = CFG
+    rng = np.random.default_rng(7)
+    B = 8
+    # ground-truth perturbations within the training amplitudes
+    yaw = rng.uniform(-np.pi, np.pi, size=B)
+    t = np.stack([rng.uniform(-10, 10, B), np.zeros(B),
+                  rng.uniform(-10, 10, B)], axis=1).astype(np.float32)
+    R = Rotation.from_euler("y", yaw[:, None]).as_matrix().astype(np.float32)
+    pose_tgt = jnp.array(np.asarray(make_se3(jnp.array(R), jnp.array(t))))
+    pose = jnp.array(np.tile(np.eye(4, dtype=np.float32), (B, 1, 1)))
+
+    r_steps = jnp.array(R_STEPS)
+    t_steps = jnp.array(T_STEPS)
+    for _ in range(cfg.action_num):
+        ar, at = expert_action(pose, pose_tgt, r_steps, t_steps)
+        pose = apply_action(ar, at, pose, r_steps, t_steps)
+
+    rte, rre = pose_diff(pose, pose_tgt)
+    assert float(jnp.max(rte)) < 0.3, np.asarray(rte)
+    assert float(jnp.max(rre)) < 1.0, np.asarray(rre)

@@ -75,8 +75,9 @@ def build_workload(cfg, batch_size: int):
         def apply_fn(avars, o2, o3):
             return agent.apply(avars, o2, o3, train=False)
 
+        topk = cfg.raster_topk if 0 < cfg.raster_topk < cfg.num_pt else None
         final, _ = run_episode(apply_fn, av, state, pose_src, pose_tgt, cfg,
-                               deterministic=True)
+                               deterministic=True, raster_topk=topk)
         return final
 
     return batch_np, build_vars, episode
@@ -119,6 +120,14 @@ def time_backend(device, cfg, batch_size: int, iters: int, warmup: int):
 def main():
     import jax
     from cmr_agent_tpu.config import kitti_config
+
+    # Persistent compile cache: the remote compile service's first
+    # compilation in a process costs minutes; caching cuts repeat runs.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/cmr_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     cfg = kitti_config()
 

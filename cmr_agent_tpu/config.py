@@ -116,6 +116,9 @@ class Config:
     # <----------- TPU-specific knobs (no reference analog) ---------->
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     use_pallas: bool = True  # use fused Pallas kernels where available
+    # Episode observation: compact rasterisation to top-K overlap points
+    # (exact while overlap count <= K; 0 disables). Halves the hot kernel.
+    raster_topk: int = 20480
 
     # <----------- derived geometry ---------->
     @property

@@ -40,6 +40,34 @@ def init_poses(batch):
     return pose_source, pose_target
 
 
+def compact_observation_state(state, k: int):
+    """Pre-compact the rasterisation inputs to the top-``k`` overlap points.
+
+    Only points with ``pc_overlap_pred`` contribute to the 2-D observation
+    (environment.py:48-49), and that mask is FIXED across all episode steps
+    — so the point set can be compacted once per episode. Exact whenever the
+    overlap count <= k (ranking is by ``pc_is_in_cam_scores`` when present);
+    beyond that the lowest-score overlap points are dropped.
+
+    Returns a new state dict with ``raster_pc [B,k,3]``, ``raster_feat
+    [B,k,F]``, ``raster_valid [B,k]`` consumed by
+    :func:`observation_from_pose`. The 3-D observation still sees the full
+    cloud.
+    """
+    scores = state.get("pc_is_in_cam_scores",
+                       state["pc_overlap_pred"].astype(jnp.float32))
+    ranked = jnp.where(state["pc_overlap_pred"], scores, -1.0)
+    _, sel = jax.lax.top_k(ranked, k)                     # [B, k]
+    take = lambda x: jnp.take_along_axis(
+        x, sel[..., None] if x.ndim == 3 else sel, axis=1)
+    out = dict(state)
+    out["raster_pc"] = take(state["pc"])
+    out["raster_feat"] = take(state["pc_geo_feat"])
+    out["raster_valid"] = jnp.take_along_axis(
+        state["pc_overlap_pred"], sel, axis=1)
+    return out
+
+
 def observation_from_pose(feats, pose, image_h: int, image_w: int):
     """Render the 2-D and 3-D observations under the current pose estimate.
 
@@ -58,20 +86,41 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int):
 
     R = pose[:, :3, :3]
     t = pose[:, :3, 3]
-    pc_rt = transform_points_disentangled(pc, R, t)
-    proj = project_points(pc_rt, K)
-    in_cam = frustum_mask(proj, w=image_w, h=image_h)
 
-    xi = jnp.round(proj[..., 0]).astype(jnp.int32)
-    yi = jnp.round(proj[..., 1]).astype(jnp.int32)
-    pix = yi * image_w + xi
+    def project(points):
+        moved = transform_points_disentangled(points, R, t)
+        proj = project_points(moved, K)
+        return proj, frustum_mask(proj, w=image_w, h=image_h)
 
-    valid = in_cam & overlap
-    proj_feat = scatter_mean_image(feats["pc_geo_feat"], pix, valid,
-                                   image_h, image_w)
+    # Disentangled transforms rotate about the FULL cloud centroid
+    # (environment.py:46,54): compacted points must reuse it.
+    mean_full = pc.mean(axis=1, keepdims=True)
+
+    if "raster_pc" in feats:  # pre-compacted (compact_observation_state)
+        r_pc = feats["raster_pc"]
+        moved = (jnp.einsum("bij,bnj->bni", R, r_pc - mean_full)
+                 + mean_full + t[:, None, :])
+        r_proj = project_points(moved, K)
+        r_in_cam = frustum_mask(r_proj, w=image_w, h=image_h)
+        r_feat = feats["raster_feat"]
+        r_valid = r_in_cam & feats["raster_valid"]
+        xi = jnp.round(r_proj[..., 0]).astype(jnp.int32)
+        yi = jnp.round(r_proj[..., 1]).astype(jnp.int32)
+        pix = yi * image_w + xi
+        proj_feat = scatter_mean_image(r_feat, pix, r_valid,
+                                       image_h, image_w)
+        _, in_cam = project(pc)  # full-cloud frustum flags for the 3-D obs
+    else:
+        proj, in_cam = project(pc)
+        xi = jnp.round(proj[..., 0]).astype(jnp.int32)
+        yi = jnp.round(proj[..., 1]).astype(jnp.int32)
+        pix = yi * image_w + xi
+        valid = in_cam & overlap
+        proj_feat = scatter_mean_image(feats["pc_geo_feat"], pix, valid,
+                                       image_h, image_w)
+
     observation_2d = jnp.concatenate([feats["img_geo_feat"], proj_feat],
                                      axis=-1)
-
     observation_3d = jnp.concatenate(
         [pc, overlap[..., None].astype(pc.dtype),
          in_cam[..., None].astype(pc.dtype)], axis=-1)

@@ -16,8 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from .environment import (apply_action, expert_action, observation_from_pose,
-                          step_reward)
+from .environment import (apply_action, compact_observation_state,
+                          expert_action, observation_from_pose, step_reward)
 from ..models.agent import action_from_logits, action_logprob_and_entropy
 
 
@@ -40,6 +40,7 @@ def run_episode(
     with_expert: bool = False,
     collect_trajectory: bool = False,
     reward_apply_pose: bool = True,
+    raster_topk: Optional[int] = None,
 ):
     """Run a K-step registration episode on device.
 
@@ -58,6 +59,9 @@ def run_episode(
       collect_trajectory: return per-step tensors for BC/PPO.
       reward_apply_pose: True = fixed reward semantics; False = reproduce
         the reference's degenerate constant-distance reward.
+      raster_topk: if set, compact the 2-D observation rasterisation to the
+        top-K overlap points once for the whole episode (the overlap mask is
+        step-invariant) — exact when the overlap count <= K.
 
     Returns:
       ``(final_pose [B,4,4], trajectory dict or None)``. Trajectory tensors
@@ -69,6 +73,8 @@ def run_episode(
     t_steps = jnp.asarray(cfg.t_steps_array())
     if key is None:
         key = jax.random.key(0)
+    if raster_topk is not None:
+        state = compact_observation_state(state, raster_topk)
 
     need_reward = collect_trajectory
     if need_reward:

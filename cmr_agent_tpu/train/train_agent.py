@@ -83,10 +83,12 @@ def make_rollout_fn(cfg: Config, reward_apply_pose: bool = True):
 
         avars = {"params": agent_state.params,
                  "batch_stats": agent_state.batch_stats}
+        topk = cfg.raster_topk if 0 < cfg.raster_topk < cfg.num_pt else None
         final, traj = run_episode(
             apply_fn, avars, state, pose_src, pose_tgt, cfg,
             deterministic=False, key=key, with_expert=True,
-            collect_trajectory=True, reward_apply_pose=reward_apply_pose)
+            collect_trajectory=True, reward_apply_pose=reward_apply_pose,
+            raster_topk=topk)
         return traj, final, pose_tgt
 
     return jax.jit(rollout)
@@ -170,8 +172,9 @@ def make_val_episode_fn(cfg: Config):
 
         avars = {"params": agent_state.params,
                  "batch_stats": agent_state.batch_stats}
+        topk = cfg.raster_topk if 0 < cfg.raster_topk < cfg.num_pt else None
         final, _ = run_episode(apply_fn, avars, state, pose_src, pose_tgt,
-                               cfg, deterministic=True)
+                               cfg, deterministic=True, raster_topk=topk)
         rte, rre = pose_diff(final, pose_tgt)
         return final, rte, rre
 

@@ -302,3 +302,31 @@ def test_expert_episode_converges():
     rte, rre = pose_diff(pose, pose_tgt)
     assert float(jnp.max(rte)) < 0.3, np.asarray(rte)
     assert float(jnp.max(rre)) < 1.0, np.asarray(rre)
+
+
+def test_compacted_observation_matches_full():
+    from cmr_agent_tpu.env.environment import compact_observation_state
+    rng = np.random.default_rng(9)
+    B, N, F, h, w = 2, 300, 8, 6, 10
+    K = np.array([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]], np.float32)
+    overlap = rng.random((B, N)) < 0.3
+    state = {
+        "pc": jnp.array(rng.normal(size=(B, N, 3)) * 2
+                        + np.array([0, 0, 6]), jnp.float32),
+        "K": jnp.array(np.tile(K, (B, 1, 1))),
+        "pc_overlap_pred": jnp.array(overlap),
+        "pc_is_in_cam_scores": jnp.array(rng.random((B, N)), jnp.float32),
+        "pc_geo_feat": jnp.array(rng.normal(size=(B, N, F)), jnp.float32),
+        "img_geo_feat": jnp.array(rng.normal(size=(B, h, w, F)), jnp.float32),
+    }
+    pose = jnp.array(np.tile(np.eye(4, dtype=np.float32), (B, 1, 1)))
+    pose = pose.at[:, 0, 3].set(0.5)
+
+    want2d, want3d = observation_from_pose(state, pose, h, w)
+    # k covering every overlap point -> exact
+    k = int(overlap.sum(1).max()) + 5
+    compact = compact_observation_state(state, k)
+    got2d, got3d = observation_from_pose(compact, pose, h, w)
+    np.testing.assert_allclose(np.asarray(got2d), np.asarray(want2d),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got3d), np.asarray(want3d))

@@ -1,0 +1,81 @@
+"""Cost-volume (IterModel) training step.
+
+The reference ships IterModel with a CE loss against the hypothesis-grid
+label (models/IterModel.py:174-192) and a commented-out frozen
+MultiHeadModel load (IterModel.py:31-35) but no training entry script; this
+module completes the capability: a jitted step optimising the scoring tower
+against the reconstructed grid labels, with the geo model frozen.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import Config
+from ..models import IterModel
+from .optim import make_optimizer
+
+
+class IterTrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Any = struct.field(pytree_node=False)
+
+
+def create_iter_state(cfg: Config, example_state: Dict, rng: jax.Array,
+                      steps_per_epoch: int = 1000) -> IterTrainState:
+    model = IterModel(cfg)
+    variables = model.init({"params": rng}, example_state, train=False,
+                           with_loss=True)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    return IterTrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        tx=tx,
+        apply_fn=model.apply,
+    )
+
+
+def make_iter_train_step(cfg: Config):
+    """Jitted ``(state, iter_state_dict) -> (state, metrics)``.
+
+    The warp consumes frozen geo outputs (stop-gradient by construction);
+    only the Conv tower and heads receive gradients.
+    """
+
+    def train_step(state: IterTrainState, batch_state: Dict):
+        def loss_fn(params):
+            out, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                jax.tree.map(jax.lax.stop_gradient, batch_state),
+                train=True, with_loss=True, mutable=["batch_stats"])
+            return out["cost_volume_loss"], (out, mutated)
+
+        (loss, (out, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        label = jnp.argmax(out["cost_volume_label"], axis=-1)
+        pred = jnp.argmax(out["cost_volume_logits"], axis=-1)
+        metrics = {
+            "cost_volume_loss": loss,
+            "grid_accuracy": jnp.mean((pred == label).astype(jnp.float32)),
+        }
+        new_state = state.replace(
+            step=state.step + 1, params=new_params,
+            batch_stats=mutated.get("batch_stats", state.batch_stats),
+            opt_state=new_opt)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))

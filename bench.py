@@ -42,14 +42,16 @@ def build_workload(cfg, batch_size: int):
     agent = CMRAgent(cfg)
 
     def build_vars(batch):
-        gv = model.init({"params": jax.random.key(0),
-                         "dropout": jax.random.key(1)},
-                        batch, train=False, with_loss=False)
+        g_init = jax.jit(lambda rngs, b: model.init(rngs, b, train=False,
+                                                    with_loss=False))
+        gv = g_init({"params": jax.random.key(0),
+                     "dropout": jax.random.key(1)}, batch)
         h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
-        av = agent.init({"params": jax.random.key(2)},
-                        jnp.zeros((batch_size, h, w, 2 * f)),
-                        jnp.zeros((batch_size, cfg.num_pt, 5)),
-                        train=False)
+        a_init = jax.jit(lambda r, o2, o3: agent.init({"params": r}, o2, o3,
+                                                      train=False))
+        av = a_init(jax.random.key(2),
+                    jnp.zeros((batch_size, h, w, 2 * f)),
+                    jnp.zeros((batch_size, cfg.num_pt, 5)))
         return gv, av
 
     def episode(gv, av, batch, shift):

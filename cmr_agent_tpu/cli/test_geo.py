@@ -57,8 +57,10 @@ def main(argv=None):
     geo_out0 = geo_forward(geo_vars["params"], geo_vars["batch_stats"],
                            example)
     state0 = _iter_state(geo_out0, example)
-    iter_vars = iter_model.init({"params": jax.random.key(0)}, state0,
-                                train=False, with_loss=False)
+    iter_vars = jax.jit(
+        lambda r, s: iter_model.init({"params": r}, s, train=False,
+                                     with_loss=False))(jax.random.key(0),
+                                                       state0)
     if args.iter_ckpt:
         if args.iter_ckpt.endswith(".pth"):
             iter_vars = convert_torch_itermodel(cfg, args.iter_ckpt,

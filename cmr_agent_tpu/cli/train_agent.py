@@ -36,9 +36,10 @@ from .common import add_common_args, build_config, build_dataset, set_seed
 def load_geo_variables(cfg, args, example_batch):
     """Init geo variables, then load a checkpoint (orbax dir or torch .pth)."""
     model = MultiHeadModel(cfg)
-    variables = model.init(
-        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
-        example_batch, train=False, with_loss=False)
+    init = jax.jit(lambda rngs, b: model.init(rngs, b, train=False,
+                                              with_loss=False))
+    variables = init({"params": jax.random.key(0),
+                      "dropout": jax.random.key(1)}, example_batch)
     template = {"params": variables["params"],
                 "batch_stats": variables["batch_stats"]}
     if args.geo_ckpt:

@@ -38,8 +38,9 @@ def create_agent_state(cfg: Config, example_obs2d, example_obs3d,
                        rng: jax.Array,
                        steps_per_epoch: int = 1000) -> AgentTrainState:
     agent = CMRAgent(cfg)
-    variables = agent.init({"params": rng}, example_obs2d, example_obs3d,
-                           train=False)
+    init = jax.jit(lambda r, o2, o3: agent.init({"params": r}, o2, o3,
+                                                train=False))
+    variables = init(rng, example_obs2d, example_obs3d)
     tx = make_optimizer(cfg, steps_per_epoch)
     return AgentTrainState(
         step=jnp.zeros((), jnp.int32),

@@ -40,8 +40,11 @@ def create_geo_state(cfg: Config, example_batch: Dict, rng: jax.Array,
                      steps_per_epoch: int = 1000) -> GeoTrainState:
     model = MultiHeadModel(cfg)
     r1, r2 = jax.random.split(rng)
-    variables = model.init({"params": r1, "dropout": r2}, example_batch,
-                           train=False, with_loss=True)
+    # jitted init: eager init would dispatch every op individually (slow on
+    # remote TPU runtimes and routed through unjitted scatter paths)
+    init = jax.jit(lambda rngs, b: model.init(rngs, b, train=False,
+                                              with_loss=True))
+    variables = init({"params": r1, "dropout": r2}, example_batch)
     tx = make_optimizer(cfg, steps_per_epoch)
     return GeoTrainState(
         step=jnp.zeros((), jnp.int32),

@@ -33,8 +33,9 @@ class IterTrainState(struct.PyTreeNode):
 def create_iter_state(cfg: Config, example_state: Dict, rng: jax.Array,
                       steps_per_epoch: int = 1000) -> IterTrainState:
     model = IterModel(cfg)
-    variables = model.init({"params": rng}, example_state, train=False,
-                           with_loss=True)
+    init = jax.jit(lambda r, s: model.init({"params": r}, s, train=False,
+                                           with_loss=True))
+    variables = init(rng, example_state)
     tx = make_optimizer(cfg, steps_per_epoch)
     return IterTrainState(
         step=jnp.zeros((), jnp.int32),

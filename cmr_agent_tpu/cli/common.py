@@ -29,10 +29,15 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--logdir", default=None)
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--synthetic-length", type=int, default=64)
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax NaN debugging (fails fast on any NaN)")
     return p
 
 
 def build_config(args) -> Config:
+    if getattr(args, "debug_nans", False):
+        import jax
+        jax.config.update("jax_debug_nans", True)
     overrides = {}
     if args.batch_size is not None:
         overrides["train_batch_size"] = args.batch_size

@@ -330,3 +330,46 @@ def test_compacted_observation_matches_full():
     np.testing.assert_allclose(np.asarray(got2d), np.asarray(want2d),
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(got3d), np.asarray(want3d))
+
+
+def test_expert_and_step_6dof():
+    """is_6_DoF branch: 3 rotation + 3 translation actions
+    (reference environment.py:172-175,189-194)."""
+    rng = np.random.default_rng(11)
+    B = 4
+    angles = rng.uniform(-0.4, 0.4, size=(B, 3))
+    R = Rotation.from_euler("xyz", angles).as_matrix().astype(np.float32)
+    t = rng.uniform(-5, 5, size=(B, 3)).astype(np.float32)
+    tgt = jnp.array(np.asarray(make_se3(jnp.array(R), jnp.array(t))))
+    src = jnp.array(np.tile(np.eye(4, dtype=np.float32), (B, 1, 1)))
+
+    ar, at = expert_action(src, tgt, jnp.array(R_STEPS), jnp.array(T_STEPS),
+                           is_6_dof=True)
+    assert ar.shape == (B, 3) and at.shape == (B, 3)
+    # expert targets the full euler triple
+    want_r = np.abs(angles[:, :, None] - R_STEPS[None, None]).argmin(2)
+    # euler extraction of R may differ from input angles only at branch
+    # cuts; these angles are small so they match
+    np.testing.assert_array_equal(np.asarray(ar), want_r)
+
+    pose = apply_action(ar, at, src, jnp.array(R_STEPS), jnp.array(T_STEPS),
+                        is_6_dof=True)
+    # rotation applied is Rx@Ry@Rz of the chosen steps
+    steps_r = R_STEPS[np.asarray(ar)]
+    from cmr_agent_tpu.ops import euler_angles_to_matrix_xyz
+    want_R = np.asarray(euler_angles_to_matrix_xyz(jnp.array(steps_r)))
+    np.testing.assert_allclose(np.asarray(pose[:, :3, :3]), want_R, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pose[:, :3, 3]),
+                               T_STEPS[np.asarray(at)], atol=1e-6)
+
+
+def test_agent_6dof_heads():
+    cfg6 = tiny_config(is_6_dof=True)
+    rng = np.random.default_rng(12)
+    s2d = jnp.array(rng.normal(size=(2, cfg6.image_h, cfg6.image_w,
+                                     2 * cfg6.embed_dim)), jnp.float32)
+    s3d = jnp.array(rng.normal(size=(2, cfg6.num_pt, 5)), jnp.float32)
+    agent = CMRAgent(cfg6)
+    v = agent.init(jax.random.key(0), s2d, s3d, train=False)
+    r, t, val = agent.apply(v, s2d, s3d, train=False)
+    assert r.shape == (2, 3, 11) and t.shape == (2, 3, 11)

@@ -66,7 +66,9 @@ def main(argv=None):
         if args.agent_ckpt.endswith(".pth"):
             loaded = convert_torch_agent(cfg, args.agent_ckpt, template)
         else:
-            loaded = restore_checkpoint(args.agent_ckpt, template=template)
+            loaded = restore_checkpoint(
+                args.agent_ckpt,
+                template=dict(template, step=agent_state.step))
         agent_state = agent_state.replace(params=loaded["params"],
                                           batch_stats=loaded["batch_stats"])
         print(f"loaded agent checkpoint from {args.agent_ckpt}")

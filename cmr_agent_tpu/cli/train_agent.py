@@ -46,7 +46,11 @@ def load_geo_variables(cfg, args, example_batch):
         if args.geo_ckpt.endswith(".pth"):
             loaded = convert_torch_multihead(cfg, args.geo_ckpt, template)
         else:
-            loaded = restore_checkpoint(args.geo_ckpt, template=template)
+            # orbax template must match the saved tree, which includes step
+            import jax.numpy as _jnp
+            loaded = restore_checkpoint(
+                args.geo_ckpt,
+                template=dict(template, step=_jnp.zeros((), _jnp.int32)))
         template = {"params": loaded["params"],
                     "batch_stats": loaded["batch_stats"]}
         print(f"loaded geo checkpoint from {args.geo_ckpt}")

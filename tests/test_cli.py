@@ -1,0 +1,38 @@
+"""End-to-end CLI flow on the tiny synthetic config:
+train_geo -> checkpoint -> train_agent (loading the geo ckpt) -> test_agent.
+"""
+
+import glob
+import os
+
+import numpy as np
+
+
+def test_cli_train_eval_roundtrip(tmp_path):
+    from cmr_agent_tpu.cli import train_geo, train_agent, test_agent, test_geo
+
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    common = ["--dataset", "synthetic", "--tiny", "--synthetic-length", "2",
+              "--batch-size", "2", "--logdir", log, "--ckpt-dir", ckpt]
+
+    train_geo.main(common + ["--steps", "1"])
+    geo_ckpts = glob.glob(os.path.join(ckpt, "*", "epoch-*"))
+    assert geo_ckpts, "train_geo produced no checkpoint"
+
+    train_agent.main(common + ["--steps", "1", "--geo-ckpt", geo_ckpts[0]])
+    agent_ckpts = [p for p in glob.glob(os.path.join(ckpt, "*_IL_*", "epoch-*"))]
+    assert agent_ckpts, "train_agent produced no checkpoint"
+
+    m = test_agent.main(["--dataset", "synthetic", "--tiny",
+                         "--synthetic-length", "2", "--eval-batch-size", "2",
+                         "--max-batches", "1",
+                         "--geo-ckpt", geo_ckpts[0],
+                         "--agent-ckpt", agent_ckpts[0]])
+    assert 0.0 <= m["registration_recall"] <= 1.0
+    assert np.isfinite(m["avg_episode_time_s"])
+
+    r = test_geo.main(["--dataset", "synthetic", "--tiny",
+                       "--synthetic-length", "2", "--max-batches", "1",
+                       "--geo-ckpt", geo_ckpts[0]])
+    assert 0.0 <= r["matching_inlier_ratio"] <= 1.0

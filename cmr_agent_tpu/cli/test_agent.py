@@ -41,6 +41,9 @@ def main(argv=None):
                    help="reference protocol uses 1; larger batches "
                         "amortise the episode on TPU")
     p.add_argument("--max-batches", type=int, default=0)
+    p.add_argument("--save-mat", default="",
+                   help="dump per-episode timings to a .mat file "
+                        "(reference Test_Agent.py:196 parity)")
     args = p.parse_args(argv)
 
     cfg = build_config(args)
@@ -98,6 +101,11 @@ def main(argv=None):
     m["avg_episode_time_steady_s"] = float(np.mean(times[1:]) if
                                            len(times) > 1 else times[0])
     m["num_samples"] = len(rte_all)
+    if args.save_mat:
+        import scipy.io as scio
+        scio.savemat(args.save_mat, {"Time": np.array(times),
+                                     "RTE": np.array(rte_all),
+                                     "RRE": np.array(rre_all)})
     print(json.dumps(m, indent=2))
     return m
 

@@ -88,6 +88,23 @@ def matching_inlier_ratio(pc_geo_feat, img_geo_feat, pc_mask, point_xy_all,
       point_xy_all: [2, N] true (x, y) projections.
     Returns scalar inlier ratio over masked points.
     """
+    pred_xy, inlier = matching_centers(pc_geo_feat, img_geo_feat, pc_mask,
+                                       point_xy_all, image_w, px_thresh)
+    return jnp.sum(inlier & pc_mask) / jnp.maximum(jnp.sum(pc_mask), 1)
+
+
+def matching_centers(pc_geo_feat, img_geo_feat, pc_mask, point_xy_all,
+                     image_w: int, px_thresh: float = 3.0):
+    """Feature-NN matching centres + inlier ground-truth mask.
+
+    The reference's ``cal_matcning_ground_truth``
+    (MultiHeadModel.py:285-315): for each masked point, the (x, y) of its
+    nearest pixel in feature space (``feat_matching_centers``) and whether
+    that lands within ``px_thresh`` of the true projection
+    (``inlier_matching_ground_truth``).
+
+    Returns ``(pred_xy [2, N], inlier [N] bool)``.
+    """
     f = pc_geo_feat.shape[-1]
     pix = img_geo_feat.reshape(-1, f)
     # |a-b|^2 = |a|^2 + |b|^2 - 2ab on the MXU
@@ -98,4 +115,4 @@ def matching_inlier_ratio(pc_geo_feat, img_geo_feat, pc_mask, point_xy_all,
     py = (min_idx // image_w).astype(jnp.float32)
     err = jnp.sqrt((px - point_xy_all[0]) ** 2 + (py - point_xy_all[1]) ** 2)
     inlier = (err <= px_thresh) & pc_mask
-    return jnp.sum(inlier) / jnp.maximum(jnp.sum(pc_mask), 1)
+    return jnp.stack([px, py]), inlier

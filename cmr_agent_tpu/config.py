@@ -160,6 +160,12 @@ class Config:
     def degree_t(self) -> int:
         return 3 if self.is_6_dof else 2
 
+    def jnp_dtype(self):
+        """Activation compute dtype as a jnp dtype (params stay float32)."""
+        import jax.numpy as jnp
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else \
+            jnp.float32
+
     # <----------- action tables as arrays (built on demand) ---------->
     def r_steps_array(self) -> np.ndarray:
         return np.asarray(self.r_steps_deg, dtype=np.float32) * math.pi / 180.0

@@ -30,6 +30,9 @@ class CMRAgent(nn.Module):
     def __call__(self, state_2d, state_3d, train: bool = False):
         cfg = self.cfg
         f = cfg.embed_dim
+        dt = cfg.jnp_dtype()
+        state_2d = state_2d.astype(dt)
+        state_3d = state_3d.astype(dt)
 
         # <-- 3-D branch: ConvBNReLURes1D stack with max-pool re-broadcast
         #     (CMRAgent.py:25-29, 92-101) -->
@@ -37,7 +40,7 @@ class CMRAgent(nn.Module):
         embed = state_3d
         n = state_3d.shape[1]
         for i, d in enumerate(dims):
-            feat = ResDenseBlock(d, name=f"state3d_{i}")(embed, train)
+            feat = ResDenseBlock(d, dtype=dt, name=f"state3d_{i}")(embed, train)
             pooled = jnp.max(feat, axis=1, keepdims=True)        # [B, 1, d]
             if i < len(dims) - 1:
                 embed = jnp.concatenate(
@@ -50,7 +53,8 @@ class CMRAgent(nn.Module):
         # Default-slope (0.01) LeakyReLU, matching torch nn.LeakyReLU().
         lrelu = lambda x: nn.leaky_relu(x, negative_slope=0.01)
         conv = lambda d, name: nn.Conv(d, (3, 3), padding=1,
-                                       kernel_init=torch_kernel_init, name=name)
+                                       kernel_init=torch_kernel_init,
+                                       dtype=dt, name=name)
         x = state_2d
         for s in range(3):
             x = conv(2 * f, f"conv{s}_0")(x)
@@ -65,10 +69,10 @@ class CMRAgent(nn.Module):
         x = conv(2 * f, "conv3_1")(x)
         x = lrelu(x)
         x = jnp.mean(x, axis=(1, 2), keepdims=True)              # AvgPool(H/8,W/8)
-        x = nn.Conv(2 * f, (1, 1), kernel_init=torch_kernel_init,
+        x = nn.Conv(2 * f, (1, 1), kernel_init=torch_kernel_init, dtype=dt,
                     name="conv4_0")(x)
         x = lrelu(x)
-        x = nn.Conv(2 * f, (1, 1), kernel_init=torch_kernel_init,
+        x = nn.Conv(2 * f, (1, 1), kernel_init=torch_kernel_init, dtype=dt,
                     name="conv4_1")(x)
         embed_2d = x.reshape(x.shape[0], -1)                     # [B, 2f]
 
@@ -77,11 +81,12 @@ class CMRAgent(nn.Module):
         def mlp_head(widths, out_dim, name):
             h = state
             for i, wdt in enumerate(widths):
-                h = nn.Dense(wdt, kernel_init=torch_kernel_init,
+                h = nn.Dense(wdt, kernel_init=torch_kernel_init, dtype=dt,
                              name=f"{name}_{i}")(h)
                 h = lrelu(h)
-            return nn.Dense(out_dim, kernel_init=torch_kernel_init,
-                            name=f"{name}_out")(h)
+            out = nn.Dense(out_dim, kernel_init=torch_kernel_init, dtype=dt,
+                           name=f"{name}_out")(h)
+            return out.astype(jnp.float32)  # logits/value leave in f32
 
         r_logits = mlp_head([4 * f, 4 * f], cfg.degree_r * cfg.num_steps,
                             "policy_r")

@@ -37,6 +37,7 @@ class IMGPCEncoder(nn.Module):
     @nn.compact
     def __call__(self, img, pc, node, pt2node, train: bool):
         cfg = self.cfg
+        dt = cfg.jnp_dtype()
         img_proxy, feat_q, feat_h, feat_f = ImageTransformer(
             cfg, name="img_transformer")(img, train)
         pt_proxy, node2proxy, pt_feat, node_feat = PointTransformer(
@@ -45,7 +46,7 @@ class IMGPCEncoder(nn.Module):
         for i in range(cfg.num_ca_layer_coarse):
             block = lambda name: ViTCrossBlock(
                 cfg.num_head, cfg.mlp_dim, cfg.attention_dropout,
-                cfg.mlp_dropout, name=name)
+                cfg.mlp_dropout, dtype=dt, name=name)
             img_proxy = block(f"p2i_{i}")(img_proxy, pt_proxy, train)
             pt_proxy = block(f"i2p_{i}")(pt_proxy, img_proxy, train)
             img_proxy = block(f"img_sa_{i}")(img_proxy, img_proxy, train)
@@ -76,14 +77,17 @@ class IMGPCEnDecoder(nn.Module):
     def __call__(self, img, pc, node, pt2node, train: bool):
         cfg = self.cfg
         f = cfg.embed_dim
+        dt = cfg.jnp_dtype()
         enc = IMGPCEncoder(cfg, name="encoder")(img, pc, node, pt2node, train)
 
         # <-- node side: pull each node's proxy feature down and fuse -->
         proxy_at_node = index_points(enc["pt_proxy"], enc["node2proxy"])
         node_fused = jnp.concatenate([enc["node_feat"], proxy_at_node], axis=-1)
-        node_fused = ResDenseBlock(f, name="node_fuse_0")(node_fused, train)
+        node_fused = ResDenseBlock(f, dtype=dt, name="node_fuse_0")(
+            node_fused, train)
         for i in range(1, cfg.node_fuse_res_num):
-            node_fused = ResDenseBlock(f, name=f"node_fuse_{i}")(node_fused, train)
+            node_fused = ResDenseBlock(f, dtype=dt, name=f"node_fuse_{i}")(
+                node_fused, train)
         node_fused = nn.Dropout(0.1, deterministic=not train)(node_fused)
 
         # <-- pixel side: nearest-upsample proxies 8x and fuse -->
@@ -96,10 +100,12 @@ class IMGPCEnDecoder(nn.Module):
         pe = jnp.asarray(
             position_encoding_sine_2d(f, cfg.image_h, cfg.image_w),
             dtype=img_fused.dtype)
-        img_fused = ResidualBlock2D(f, name="img_fuse_0")(img_fused, train)
+        img_fused = ResidualBlock2D(f, dtype=dt, name="img_fuse_0")(
+            img_fused, train)
         img_fused = img_fused + pe[None]  # PE after the first fuse block
         for i in range(1, cfg.img_fuse_res_num):
-            img_fused = ResidualBlock2D(f, name=f"img_fuse_{i}")(img_fused, train)
+            img_fused = ResidualBlock2D(f, dtype=dt, name=f"img_fuse_{i}")(
+                img_fused, train)
         img_fused = nn.Dropout(0.1, deterministic=not train)(img_fused)
 
         vis_feat = img_fused
@@ -107,7 +113,8 @@ class IMGPCEnDecoder(nn.Module):
 
         # <-- interleaved linear attention over all pixels x all nodes -->
         for i in range(cfg.linear_attention_num):
-            la = lambda name: LinearAttention(cfg.la_head_num, name=name)
+            la = lambda name: LinearAttention(cfg.la_head_num, dtype=dt,
+                                              name=name)
             node_fused = la(f"p2n_{i}")(node_fused, pixels, train)
             pixels = la(f"n2p_{i}")(pixels, node_fused, train)
             node_fused = la(f"node_self_{i}")(node_fused, node_fused, train)

@@ -17,7 +17,8 @@ from ..ops.sampling import index_points
 from .layers import ResDenseBlock, ResidualBlock2D, leaky, torch_kernel_init
 
 
-def _point_fuse(cfg: Config, pt_feat, fused_node_feat, pt2node, train):
+def _point_fuse(cfg: Config, pt_feat, fused_node_feat, pt2node, train,
+                dtype=None):
     """Shared node->point fusion stack (MultiHeadModel.py:54-66,220-231).
 
     Called from inside a compact method, so the ResDenseBlocks attach to the
@@ -26,7 +27,8 @@ def _point_fuse(cfg: Config, pt_feat, fused_node_feat, pt2node, train):
     node_at_pt = index_points(fused_node_feat, pt2node)
     x = jnp.concatenate([pt_feat, node_at_pt], axis=-1)
     for i in range(cfg.pt_head_res_num):
-        x = ResDenseBlock(cfg.embed_dim, name=f"point_fuse_{i}")(x, train)
+        x = ResDenseBlock(cfg.embed_dim, dtype=dtype,
+                          name=f"point_fuse_{i}")(x, train)
     return x
 
 
@@ -42,20 +44,24 @@ class OverlapDetectionHead(nn.Module):
     def __call__(self, feats, labels, train: bool):
         cfg = self.cfg
         f = cfg.embed_dim
+        dt = cfg.jnp_dtype()
 
         fused_pt = _point_fuse(cfg, feats["pt_feat"], feats["fused_node_feat"],
-                               feats["pt2node"], train)
-        h = nn.Dense(32, kernel_init=torch_kernel_init, name="pc_head_0")(fused_pt)
-        pc_logits = nn.Dense(2, kernel_init=torch_kernel_init,
+                               feats["pt2node"], train, dtype=dt)
+        h = nn.Dense(32, kernel_init=torch_kernel_init, dtype=dt,
+                     name="pc_head_0")(fused_pt)
+        pc_logits = nn.Dense(2, kernel_init=torch_kernel_init, dtype=dt,
                              name="pc_head_1")(leaky(h))  # [B, N, 2]
+        pc_logits = pc_logits.astype(jnp.float32)
 
         img = feats["fused_img_feat"]
         for i in range(cfg.img_fuse_res_num):
-            img = ResidualBlock2D(f, name=f"img_res_{i}")(img, train)
-        h = nn.Conv(32, (1, 1), kernel_init=torch_kernel_init,
+            img = ResidualBlock2D(f, dtype=dt, name=f"img_res_{i}")(img, train)
+        h = nn.Conv(32, (1, 1), kernel_init=torch_kernel_init, dtype=dt,
                     name="img_head_0")(img)
         img_logits = nn.Conv(2, (1, 1), kernel_init=torch_kernel_init,
-                             name="img_head_1")(leaky(h))  # [B, H, W, 2]
+                             dtype=dt, name="img_head_1")(leaky(h))
+        img_logits = img_logits.astype(jnp.float32)  # [B, H, W, 2]
 
         out = {"pc_overlap_logits": pc_logits, "img_overlap_logits": img_logits}
 
@@ -101,22 +107,26 @@ class GeometricDistanceHead(nn.Module):
     def __call__(self, feats, labels, train: bool):
         cfg = self.cfg
         f = cfg.embed_dim
+        dt = cfg.jnp_dtype()
 
         fused_pt = _point_fuse(cfg, feats["pt_feat"], feats["fused_node_feat"],
-                               feats["pt2node"], train)
-        h = nn.Dense(f, kernel_init=torch_kernel_init, name="pc_head_0")(fused_pt)
-        pc_geo = nn.Dense(f, kernel_init=torch_kernel_init,
+                               feats["pt2node"], train, dtype=dt)
+        h = nn.Dense(f, kernel_init=torch_kernel_init, dtype=dt,
+                     name="pc_head_0")(fused_pt)
+        pc_geo = nn.Dense(f, kernel_init=torch_kernel_init, dtype=dt,
                           name="pc_head_1")(leaky(h))
+        pc_geo = pc_geo.astype(jnp.float32)
         pc_geo = pc_geo / jnp.maximum(
             jnp.linalg.norm(pc_geo, axis=-1, keepdims=True), 1e-12)
 
         img = feats["fused_img_feat"]
         for i in range(cfg.img_fuse_res_num):
-            img = ResidualBlock2D(f, name=f"img_res_{i}")(img, train)
-        h = nn.Conv(f, (1, 1), kernel_init=torch_kernel_init,
+            img = ResidualBlock2D(f, dtype=dt, name=f"img_res_{i}")(img, train)
+        h = nn.Conv(f, (1, 1), kernel_init=torch_kernel_init, dtype=dt,
                     name="img_head_0")(img)
-        img_geo = nn.Conv(f, (1, 1), kernel_init=torch_kernel_init,
+        img_geo = nn.Conv(f, (1, 1), kernel_init=torch_kernel_init, dtype=dt,
                           name="img_head_1")(leaky(h))
+        img_geo = img_geo.astype(jnp.float32)
         img_geo = img_geo / jnp.maximum(
             jnp.linalg.norm(img_geo, axis=-1, keepdims=True), 1e-12)
 

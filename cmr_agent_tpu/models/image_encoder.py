@@ -7,6 +7,8 @@ NHWC throughout.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -23,15 +25,17 @@ class MiniResNet(nn.Module):
     """
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, img, train: bool):
-        x = ResidualBlock2D(self.features, 1)(img, train)
-        feat_full = ResidualBlock2D(self.features, 1)(x, train)
-        x = ResidualBlock2D(self.features, 2)(feat_full, train)
-        feat_half = ResidualBlock2D(self.features, 1)(x, train)
-        x = ResidualBlock2D(self.features, 2)(feat_half, train)
-        feat_quarter = ResidualBlock2D(self.features, 1)(x, train)
+        rb = lambda st: ResidualBlock2D(self.features, st, dtype=self.dtype)
+        x = rb(1)(img, train)
+        feat_full = rb(1)(x, train)
+        x = rb(2)(feat_full, train)
+        feat_half = rb(1)(x, train)
+        x = rb(2)(feat_half, train)
+        feat_quarter = rb(1)(x, train)
         return feat_quarter, feat_half, feat_full
 
 
@@ -47,12 +51,14 @@ class ImageTransformer(nn.Module):
     @nn.compact
     def __call__(self, img, train: bool):
         cfg = self.cfg
-        feat_q, feat_h, feat_f = MiniResNet(cfg.embed_dim, name="mini_resnet")(
-            img, train)
+        dt = cfg.jnp_dtype()
+        img = img.astype(dt)
+        feat_q, feat_h, feat_f = MiniResNet(cfg.embed_dim, dtype=dt,
+                                            name="mini_resnet")(img, train)
 
         p = cfg.patch_size
         tokens = nn.Conv(cfg.embed_dim, (p, p), strides=p, padding="VALID",
-                         kernel_init=torch_kernel_init,
+                         kernel_init=torch_kernel_init, dtype=dt,
                          name="patch_embed")(feat_q)
         b, hp, wp, c = tokens.shape
         tokens = tokens.reshape(b, hp * wp, c)
@@ -64,5 +70,5 @@ class ImageTransformer(nn.Module):
         for i in range(cfg.num_sa_layer):
             tokens = ViTBlock(cfg.num_head, cfg.mlp_dim,
                               cfg.attention_dropout, cfg.mlp_dropout,
-                              name=f"sa_{i}")(tokens, train)
+                              dtype=dt, name=f"sa_{i}")(tokens, train)
         return tokens, feat_q, feat_h, feat_f

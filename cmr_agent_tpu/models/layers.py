@@ -14,10 +14,12 @@ The reference expresses pointwise stacks as ``Conv1d(k=1)+BatchNorm1d``
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
+
+Dtype = Any
 
 # torch's default Linear/Conv init: kaiming_uniform(a=sqrt(5)) ==
 # U(-1/sqrt(fan_in), 1/sqrt(fan_in)); variance 1/(3 fan_in).
@@ -30,13 +32,20 @@ def leaky(x, slope: float = 0.2):
 
 
 class BatchNorm(nn.Module):
-    """torch-semantics BatchNorm over the last axis."""
+    """torch-semantics BatchNorm over the last axis.
+
+    Batch statistics are always computed/stored in float32; in mixed
+    precision (bf16 activations) the normalisation runs in f32 and casts
+    back, which XLA fuses into the surrounding elementwise ops.
+    """
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return nn.BatchNorm(
+        in_dtype = x.dtype
+        y = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=x.dtype)(x)
+            dtype=jnp.float32)(x.astype(jnp.float32))
+        return y.astype(in_dtype)
 
 
 class DenseBNLeaky(nn.Module):
@@ -44,10 +53,12 @@ class DenseBNLeaky(nn.Module):
 
     features: int
     slope: float = 0.2
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Dense(self.features, kernel_init=torch_kernel_init)(x)
+        x = nn.Dense(self.features, kernel_init=torch_kernel_init,
+                     dtype=self.dtype)(x)
         x = BatchNorm()(x, train)
         return leaky(x, self.slope)
 
@@ -56,11 +67,12 @@ class MiniPointNet(nn.Module):
     """3 x (Dense-BN-LeakyReLU(0.2)) shared point MLP (PointNN.py:96-123)."""
 
     features: int
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         for _ in range(3):
-            x = DenseBNLeaky(self.features)(x, train)
+            x = DenseBNLeaky(self.features, dtype=self.dtype)(x, train)
         return x
 
 
@@ -71,19 +83,22 @@ class ResDenseBlock(nn.Module):
     """
 
     features: int
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         in_features = x.shape[-1]
-        h = nn.Dense(in_features, kernel_init=torch_kernel_init)(x)
+        dense = lambda f: nn.Dense(f, kernel_init=torch_kernel_init,
+                                   dtype=self.dtype)
+        h = dense(in_features)(x)
         h = BatchNorm()(h, train)
         h = leaky(h)
-        h = nn.Dense(self.features, kernel_init=torch_kernel_init)(h)
+        h = dense(self.features)(h)
         h = BatchNorm()(h, train)
         if in_features == self.features:
             s = x
         else:
-            s = nn.Dense(self.features, kernel_init=torch_kernel_init)(x)
+            s = dense(self.features)(x)
             s = BatchNorm()(s, train)
         return leaky(h + s)
 
@@ -97,26 +112,26 @@ class ResidualBlock2D(nn.Module):
 
     features: int
     stride: int = 1
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         assert self.stride in (1, 2)
         in_features = x.shape[-1]
-        h = nn.Conv(in_features, (3, 3), strides=self.stride, padding=1,
-                    kernel_init=torch_kernel_init)(x)
+        conv = lambda f, k, st: nn.Conv(
+            f, (k, k), strides=st, padding=k // 2,
+            kernel_init=torch_kernel_init, dtype=self.dtype)
+        h = conv(in_features, 3, self.stride)(x)
         h = BatchNorm()(h, train)
         h = leaky(h)
-        h = nn.Conv(self.features, (3, 3), strides=1, padding=1,
-                    kernel_init=torch_kernel_init)(h)
+        h = conv(self.features, 3, 1)(h)
         h = BatchNorm()(h, train)
 
         if in_features != self.features and self.stride == 1:
-            s = nn.Conv(self.features, (1, 1), strides=1,
-                        kernel_init=torch_kernel_init)(x)
+            s = conv(self.features, 1, 1)(x)
             s = BatchNorm()(s, train)
         elif self.stride == 2:
-            s = nn.Conv(self.features, (3, 3), strides=2, padding=1,
-                        kernel_init=torch_kernel_init)(x)
+            s = conv(self.features, 3, 2)(x)
             s = BatchNorm()(s, train)
         else:
             s = x
@@ -133,12 +148,14 @@ class ViTAttention(nn.Module):
 
     num_heads: int
     dropout: float
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, y, train: bool):
         d = x.shape[-1]
         head_dim = d // self.num_heads
-        dense = lambda name: nn.Dense(d, kernel_init=torch_kernel_init, name=name)
+        dense = lambda name: nn.Dense(d, kernel_init=torch_kernel_init,
+                                      name=name, dtype=self.dtype)
 
         def split(t):
             b, n, _ = t.shape
@@ -163,17 +180,20 @@ class ViTMlp(nn.Module):
 
     hidden_dim: int
     dropout: float
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         d = x.shape[-1]
         x = nn.Dense(self.hidden_dim,
                      kernel_init=nn.initializers.xavier_uniform(),
-                     bias_init=nn.initializers.normal(1e-6))(x)
+                     bias_init=nn.initializers.normal(1e-6),
+                     dtype=self.dtype)(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = nn.Dense(d, kernel_init=nn.initializers.xavier_uniform(),
-                     bias_init=nn.initializers.normal(1e-6))(x)
+                     bias_init=nn.initializers.normal(1e-6),
+                     dtype=self.dtype)(x)
         return nn.Dropout(self.dropout, deterministic=not train)(x)
 
 
@@ -184,13 +204,16 @@ class ViTBlock(nn.Module):
     mlp_dim: int
     attention_dropout: float
     mlp_dropout: float
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        h = nn.LayerNorm(epsilon=1e-6)(x)
-        x = x + ViTAttention(self.num_heads, self.attention_dropout)(h, h, train)
-        h = nn.LayerNorm(epsilon=1e-6)(x)
-        return x + ViTMlp(self.mlp_dim, self.mlp_dropout)(h, train)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
+        x = x + ViTAttention(self.num_heads, self.attention_dropout,
+                             dtype=self.dtype)(h, h, train)
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)(x)
+        return x + ViTMlp(self.mlp_dim, self.mlp_dropout,
+                          dtype=self.dtype)(h, train)
 
 
 class ViTCrossBlock(nn.Module):
@@ -205,11 +228,15 @@ class ViTCrossBlock(nn.Module):
     mlp_dim: int
     attention_dropout: float
     mlp_dropout: float
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, y, train: bool):
-        norm = nn.LayerNorm(epsilon=1e-6, name="attention_norm")
+        norm = nn.LayerNorm(epsilon=1e-6, name="attention_norm",
+                            dtype=self.dtype)
         xn, yn = norm(x), norm(y)
-        x = x + ViTAttention(self.num_heads, self.attention_dropout)(xn, yn, train)
-        h = nn.LayerNorm(epsilon=1e-6, name="ffn_norm")(x)
-        return x + ViTMlp(self.mlp_dim, self.mlp_dropout)(h, train)
+        x = x + ViTAttention(self.num_heads, self.attention_dropout,
+                             dtype=self.dtype)(xn, yn, train)
+        h = nn.LayerNorm(epsilon=1e-6, name="ffn_norm", dtype=self.dtype)(x)
+        return x + ViTMlp(self.mlp_dim, self.mlp_dropout,
+                          dtype=self.dtype)(h, train)

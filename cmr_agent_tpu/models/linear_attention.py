@@ -10,6 +10,8 @@ variant hooks in via ``cmr_agent_tpu.ops.pallas_kernels``.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -22,6 +24,7 @@ class LinearAttention(nn.Module):
     num_heads: int
     eps: float = 1e-6
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, y, train: bool):
@@ -31,7 +34,8 @@ class LinearAttention(nn.Module):
         s = y.shape[1]
 
         proj = lambda name: nn.Dense(d, use_bias=False,
-                                     kernel_init=torch_kernel_init, name=name)
+                                     kernel_init=torch_kernel_init,
+                                     name=name, dtype=self.dtype)
         q = proj("q_proj")(x).reshape(b, l, self.num_heads, head_dim)
         k = proj("k_proj")(y).reshape(b, s, self.num_heads, head_dim)
         v = proj("v_proj")(y).reshape(b, s, self.num_heads, head_dim)
@@ -45,16 +49,16 @@ class LinearAttention(nn.Module):
         msg = jnp.einsum("blhd,bhdv,blh->blhv", q, kv, z) * s
 
         msg = proj("merge")(msg.reshape(b, l, d))
-        msg = nn.LayerNorm(name="norm1")(msg)
+        msg = nn.LayerNorm(name="norm1", dtype=self.dtype)(msg)
         msg = nn.Dropout(self.dropout, deterministic=not train)(msg)
 
         h = jnp.concatenate([x, msg], axis=-1)
         h = nn.Dense(2 * d, use_bias=False, kernel_init=torch_kernel_init,
-                     name="mlp_0")(h)
+                     name="mlp_0", dtype=self.dtype)(h)
         h = nn.relu(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Dense(d, use_bias=False, kernel_init=torch_kernel_init,
-                     name="mlp_1")(h)
+                     name="mlp_1", dtype=self.dtype)(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.LayerNorm(name="norm2")(h)
+        h = nn.LayerNorm(name="norm2", dtype=self.dtype)(h)
         return x + h

@@ -11,6 +11,8 @@ uses a single MXU distance contraction + top_k.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -20,9 +22,9 @@ from ..ops.sampling import index_points, knn_indices
 from .layers import MiniPointNet, ViTBlock, torch_kernel_init
 
 
-def _dense(features, name, use_bias=True):
+def _dense(features, name, use_bias=True, dtype=None):
     return nn.Dense(features, use_bias=use_bias,
-                    kernel_init=torch_kernel_init, name=name)
+                    kernel_init=torch_kernel_init, name=name, dtype=dtype)
 
 
 class GroupPointTransformer(nn.Module):
@@ -39,35 +41,41 @@ class GroupPointTransformer(nn.Module):
     """
 
     d_model: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xyz, x_feat, node, node_feat, idx):
         f = self.d_model
         m = node.shape[1]
         pre = node_feat
+        dt = self.dtype
+        dense = lambda feats, name, bias=True: _dense(feats, name, bias, dt)
 
-        x = _dense(f, "fc1_points")(x_feat)
-        xx = _dense(f, "fc1_nodes")(node_feat)
-        q = _dense(f, "w_q", use_bias=False)(xx)      # [B, M, F]
-        k = _dense(f, "w_k", use_bias=False)(x)       # [B, N, F]
-        v = _dense(f, "w_v", use_bias=False)(x)       # [B, N, F]
+        x = dense(f, "fc1_points")(x_feat)
+        xx = dense(f, "fc1_nodes")(node_feat)
+        q = dense(f, "w_q", False)(xx)                # [B, M, F]
+        k = dense(f, "w_k", False)(x)                 # [B, N, F]
+        v = dense(f, "w_v", False)(x)                 # [B, N, F]
 
         q_at_pt = index_points(q, idx)                # [B, N, F]
         centers = index_points(node, idx)             # [B, N, 3]
 
-        delta = xyz - centers
-        pos = _dense(f, "fc_delta_0")(delta)
+        delta = (xyz - centers).astype(x_feat.dtype)
+        pos = dense(f, "fc_delta_0")(delta)
         pos = nn.relu(pos)
-        pos = _dense(f, "fc_delta_1")(pos)
+        pos = dense(f, "fc_delta_1")(pos)
 
         attn = q_at_pt - k + pos
-        attn = _dense(f, "fc_gamma_0")(attn)
+        attn = dense(f, "fc_gamma_0")(attn)
         attn = nn.relu(attn)
-        attn = _dense(f, "fc_gamma_1")(attn)
+        attn = dense(f, "fc_gamma_1")(attn)
         attn = attn / jnp.sqrt(jnp.asarray(f, attn.dtype))
 
-        agg = batched_segment_softmax_attend(attn, v + pos, idx, m)
-        return _dense(f, "fc2")(agg) + pre
+        # fused kernel computes in f32; cast back to the compute dtype
+        agg = batched_segment_softmax_attend(
+            attn.astype(jnp.float32), (v + pos).astype(jnp.float32), idx, m)
+        agg = agg.astype(attn.dtype)
+        return dense(f, "fc2")(agg) + pre
 
 
 class KnnPointTransformer(nn.Module):
@@ -75,32 +83,35 @@ class KnnPointTransformer(nn.Module):
 
     d_model: int
     k: int = 16
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, xyz, feat):
         f = self.d_model
+        dt = self.dtype
+        dense = lambda feats, name, bias=True: _dense(feats, name, bias, dt)
         knn_idx = knn_indices(xyz, xyz, self.k)       # [B, M, k]
         knn_xyz = index_points(xyz, knn_idx)          # [B, M, k, 3]
 
         pre = feat
-        x = _dense(f, "fc1")(feat)
-        q = _dense(f, "w_q", use_bias=False)(x)
-        k = index_points(_dense(f, "w_k", use_bias=False)(x), knn_idx)
-        v = index_points(_dense(f, "w_v", use_bias=False)(x), knn_idx)
+        x = dense(f, "fc1")(feat)
+        q = dense(f, "w_q", False)(x)
+        k = index_points(dense(f, "w_k", False)(x), knn_idx)
+        v = index_points(dense(f, "w_v", False)(x), knn_idx)
 
-        delta = xyz[:, :, None, :] - knn_xyz
-        pos = _dense(f, "fc_delta_0")(delta)
+        delta = (xyz[:, :, None, :] - knn_xyz).astype(feat.dtype)
+        pos = dense(f, "fc_delta_0")(delta)
         pos = nn.relu(pos)
-        pos = _dense(f, "fc_delta_1")(pos)
+        pos = dense(f, "fc_delta_1")(pos)
 
         attn = q[:, :, None, :] - k + pos
-        attn = _dense(f, "fc_gamma_0")(attn)
+        attn = dense(f, "fc_gamma_0")(attn)
         attn = nn.relu(attn)
-        attn = _dense(f, "fc_gamma_1")(attn)
+        attn = dense(f, "fc_gamma_1")(attn)
         attn = nn.softmax(attn / jnp.sqrt(jnp.asarray(f, attn.dtype)), axis=-2)
 
         res = jnp.sum(attn * (v + pos), axis=-2)      # [B, M, F]
-        return _dense(f, "fc2")(res) + pre
+        return dense(f, "fc2")(res) + pre
 
 
 class PointTransformer(nn.Module):
@@ -119,29 +130,32 @@ class PointTransformer(nn.Module):
     def __call__(self, pc, node, pt2node, train: bool):
         cfg = self.cfg
         f = cfg.embed_dim
+        dt = cfg.jnp_dtype()
+        pc_c = pc.astype(dt)
+        node_c = node.astype(dt)
 
-        raw_mlp = MiniPointNet(f, name="raw_point_mlp")
-        x_feat = raw_mlp(pc, train)
-        node_feat = raw_mlp(node, train)
+        raw_mlp = MiniPointNet(f, dtype=dt, name="raw_point_mlp")
+        x_feat = raw_mlp(pc_c, train)
+        node_feat = raw_mlp(node_c, train)
 
-        node_feat = GroupPointTransformer(f, name="group_0")(
+        node_feat = GroupPointTransformer(f, dtype=dt, name="group_0")(
             pc, x_feat, node, node_feat, pt2node)
         back = index_points(node_feat, pt2node)
-        x_feat = MiniPointNet(f, name="point_mlp_0")(
+        x_feat = MiniPointNet(f, dtype=dt, name="point_mlp_0")(
             jnp.concatenate([x_feat, back], axis=-1), train)
 
-        node_feat = GroupPointTransformer(f, name="group_1")(
+        node_feat = GroupPointTransformer(f, dtype=dt, name="group_1")(
             pc, x_feat, node, node_feat, pt2node)
         back = index_points(node_feat, pt2node)
-        x_feat = MiniPointNet(f, name="point_mlp_1")(
+        x_feat = MiniPointNet(f, dtype=dt, name="point_mlp_1")(
             jnp.concatenate([x_feat, back], axis=-1), train)
 
-        node_feat = GroupPointTransformer(f, name="group_node")(
+        node_feat = GroupPointTransformer(f, dtype=dt, name="group_node")(
             pc, x_feat, node, node_feat, pt2node)
 
         for i in range(3):
-            node_feat = KnnPointTransformer(f, cfg.knn_k, name=f"knn_{i}")(
-                node, node_feat)
+            node_feat = KnnPointTransformer(f, cfg.knn_k, dtype=dt,
+                                            name=f"knn_{i}")(node, node_feat)
 
         # Proxies = first num_proxy FPS-ordered nodes (PointViT.py:83-84);
         # nearest-proxy assignment is a pure function of coordinates.
@@ -150,11 +164,11 @@ class PointTransformer(nn.Module):
         d = jnp.linalg.norm(node[:, :, None, :] - proxy[:, None, :, :], axis=-1)
         node2proxy = jnp.argmin(d, axis=-1).astype(jnp.int32)
 
-        proxy_feat = GroupPointTransformer(f, name="group_proxy")(
+        proxy_feat = GroupPointTransformer(f, dtype=dt, name="group_proxy")(
             node, node_feat, proxy, proxy_feat, node2proxy)
 
         for i in range(cfg.num_sa_layer):
             proxy_feat = ViTBlock(cfg.num_head, cfg.mlp_dim,
                                   cfg.attention_dropout, cfg.mlp_dropout,
-                                  name=f"sa_{i}")(proxy_feat, train)
+                                  dtype=dt, name=f"sa_{i}")(proxy_feat, train)
         return proxy_feat, node2proxy, x_feat, node_feat

@@ -180,3 +180,20 @@ def test_gnn_capability_surface():
     mlp = SiameseResMLP(features=16, num_block=2)
     v = mlp.init(jax.random.key(1), x)
     assert mlp.apply(v, x).shape == (2, 64, 16)
+
+
+def test_bfloat16_compute_dtype(cfg, batch):
+    """compute_dtype=bfloat16: f32 params, bf16 activations, f32 outputs,
+    results close to the f32 model."""
+    cfg16 = tiny_config(compute_dtype="bfloat16")
+    m32, m16 = MultiHeadModel(cfg), MultiHeadModel(cfg16)
+    rngs = {"params": jax.random.key(0), "dropout": jax.random.key(1)}
+    v = m32.init(rngs, batch, train=False, with_loss=True)
+    out32 = m32.apply(v, batch, train=False, with_loss=True)
+    out16 = m16.apply(v, batch, train=False, with_loss=True)  # same params
+    assert out16["pc_geo_feat"].dtype == jnp.float32
+    l32, l16 = float(out32["loss"]), float(out16["loss"])
+    assert abs(l16 - l32) / abs(l32) < 0.05
+    # params identical trees (dtype plumbing adds no leaves)
+    assert jax.tree.structure(v["params"]) == jax.tree.structure(
+        m16.init(rngs, batch, train=False, with_loss=True)["params"])

@@ -184,7 +184,10 @@ def nuscenes_config(data_root: str = "", **overrides) -> Config:
 
     Differences from KITTI (NuScenesConfig.py:23-49): narrower crop (320 px
     wide -> 40x80 fused map), val every 1000 steps, 30 epochs, StepLR step 2,
-    16 loader workers, cost-volume nlabel 8 (NuScenesDataset.py:72).
+    16 loader workers. The cost-volume grid stays nlabel=9 — the reference
+    hardcodes 9 in IterModel (IterModel.py:28); NuScenesDataset.py:72's
+    ``nlabel = 8`` attribute is dead code (and an even grid has no centred
+    zero-delta hypothesis).
     """
     defaults = dict(
         name="nuscenes",
@@ -194,7 +197,6 @@ def nuscenes_config(data_root: str = "", **overrides) -> Config:
         epoch=30,
         step_size=2,
         num_workers=16,
-        nlabel=8,
     )
     defaults.update(overrides)
     return Config(**defaults)

@@ -41,6 +41,7 @@ def sample_pose_grid(r_amplitude, t_amplitude, nlabel: int):
     delta_t [B, nlabel])`` where the flat hypothesis order is
     (ry, tx, tz) row-major, matching the reference's view(-1) layout.
     """
+    assert nlabel % 2 == 1, "hypothesis grid must be odd (centred on 0)"
     base = jnp.arange(-(nlabel - 1) // 2, (nlabel - 1) // 2 + 1,
                       dtype=jnp.float32)                      # [n]
     delta_r = (2.0 * r_amplitude[:, None] / (nlabel - 1)) * base  # [B, n]

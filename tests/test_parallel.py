@@ -13,19 +13,20 @@ from cmr_agent_tpu.parallel.sp import (linear_attention_message,
                                        sp_linear_attention_message)
 from cmr_agent_tpu.train import create_geo_state, make_geo_train_step
 
-CFG = tiny_config(train_batch_size=8)
+CFG = tiny_config(train_batch_size=4)
 
 
 def test_dp_train_step_matches_single_device():
-    ds = SyntheticDataset(CFG, length=8)
-    batch = collate([ds[i] for i in range(8)])
+    ds = SyntheticDataset(CFG, length=4)
+    batch = collate([ds[i] for i in range(4)])
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
     state = create_geo_state(CFG, batch, jax.random.key(0))
     step = make_geo_train_step(CFG)
     _, m_single = step(state, batch, jax.random.key(1))
 
-    mesh = make_mesh((4, 2), ("dp", "sp"))
+    mesh = make_mesh((2, 2), ("dp", "sp"),
+                     devices=jax.devices()[:4])
     state2 = create_geo_state(CFG, batch, jax.random.key(0))
     state2 = state2.replace(params=replicate(state2.params, mesh),
                             batch_stats=replicate(state2.batch_stats, mesh),

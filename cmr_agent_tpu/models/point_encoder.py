@@ -86,11 +86,12 @@ class KnnPointTransformer(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, xyz, feat):
+    def __call__(self, xyz, feat, knn_idx=None):
         f = self.d_model
         dt = self.dtype
         dense = lambda feats, name, bias=True: _dense(feats, name, bias, dt)
-        knn_idx = knn_indices(xyz, xyz, self.k)       # [B, M, k]
+        if knn_idx is None:
+            knn_idx = knn_indices(xyz, xyz, self.k)   # [B, M, k]
         knn_xyz = index_points(xyz, knn_idx)          # [B, M, k, 3]
 
         pre = feat
@@ -153,9 +154,13 @@ class PointTransformer(nn.Module):
         node_feat = GroupPointTransformer(f, dtype=dt, name="group_node")(
             pc, x_feat, node, node_feat, pt2node)
 
+        # the 3 knn layers share one neighbourhood (coordinates are fixed;
+        # the reference recomputes the same knn per layer, PointNN.py:215-217)
+        knn_idx = knn_indices(node, node, cfg.knn_k)
         for i in range(3):
             node_feat = KnnPointTransformer(f, cfg.knn_k, dtype=dt,
-                                            name=f"knn_{i}")(node, node_feat)
+                                            name=f"knn_{i}")(node, node_feat,
+                                                             knn_idx)
 
         # Proxies = first num_proxy FPS-ordered nodes (PointViT.py:83-84);
         # nearest-proxy assignment is a pure function of coordinates.

@@ -49,7 +49,7 @@ class LinearAttention(nn.Module):
         msg = jnp.einsum("blhd,bhdv,blh->blhv", q, kv, z) * s
 
         msg = proj("merge")(msg.reshape(b, l, d))
-        msg = nn.LayerNorm(name="norm1", dtype=self.dtype)(msg)
+        msg = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(msg)
         msg = nn.Dropout(self.dropout, deterministic=not train)(msg)
 
         h = jnp.concatenate([x, msg], axis=-1)
@@ -60,5 +60,5 @@ class LinearAttention(nn.Module):
         h = nn.Dense(d, use_bias=False, kernel_init=torch_kernel_init,
                      name="mlp_1", dtype=self.dtype)(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.LayerNorm(name="norm2", dtype=self.dtype)(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2", dtype=self.dtype)(h)
         return x + h

@@ -1,0 +1,199 @@
+"""Numeric parity: converted torch weights -> identical flax forward.
+
+The reference checkpoints are stripped, so these tests build small torch
+modules with the SAME architecture contracts as the reference's building
+blocks (standard Conv/BN/Linear compositions, per docs/PARITY.md), convert
+their random weights through the name-map machinery, and assert the flax
+forward reproduces the torch forward to float tolerance. This validates the
+layout transforms (NCHW->NHWC, conv1d->dense), BatchNorm eval semantics,
+padding conventions, LeakyReLU slopes and attention math in one shot.
+"""
+
+import numpy as np
+import torch
+import torch.nn as tnn
+import jax
+import jax.numpy as jnp
+
+from cmr_agent_tpu.models.layers import (ResidualBlock2D, ResDenseBlock,
+                                         MiniPointNet)
+from cmr_agent_tpu.models.linear_attention import LinearAttention
+from cmr_agent_tpu.train.convert import (apply_name_map, _MapBuilder)
+
+
+def _to_flax(entries, torch_module, template):
+    sd = {k: v.detach().numpy() for k, v in torch_module.state_dict().items()}
+    return apply_name_map(entries, sd, template, strict=False)
+
+
+def test_residual_block2d_matches_torch():
+    torch.manual_seed(0)
+    cin, cout = 3, 8
+
+    class TBlock(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv_layers = tnn.Sequential(
+                tnn.Conv2d(cin, cin, 3, 1, 1), tnn.BatchNorm2d(cin),
+                tnn.LeakyReLU(0.2), tnn.Conv2d(cin, cout, 3, 1, 1),
+                tnn.BatchNorm2d(cout))
+            self.shortcut = tnn.Sequential(
+                tnn.Conv2d(cin, cout, 1, 1, 0), tnn.BatchNorm2d(cout))
+
+        def forward(self, x):
+            return tnn.functional.leaky_relu(
+                self.conv_layers(x) + self.shortcut(x), 0.2)
+
+    tb = TBlock().eval()
+    # randomise BN running stats so the test exercises them
+    for m in tb.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.3)
+            m.running_var.copy_(torch.rand_like(m.running_var) + 0.5)
+
+    x = torch.randn(2, cin, 6, 10)
+    with torch.no_grad():
+        want = tb(x).numpy()
+
+    fb = ResidualBlock2D(cout, 1)
+    template = fb.init(jax.random.key(0),
+                       jnp.zeros((2, 6, 10, cin)), False)
+    b = _MapBuilder()
+    b.res_block2d("", "", shortcut=True)
+    entries = [(tk.lstrip("."), coll, fp.lstrip("/"), tag)
+               for tk, coll, fp, tag in b.entries]
+    variables = _to_flax(entries, tb, template)
+    got = fb.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+                   False)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_res_dense_block_matches_torch_convbnrelures1d():
+    torch.manual_seed(1)
+    cin, cout = 6, 4
+
+    class TBlock(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.net = tnn.Sequential(
+                tnn.Conv1d(cin, cin, 1), tnn.BatchNorm1d(cin),
+                tnn.LeakyReLU(0.2), tnn.Conv1d(cin, cout, 1),
+                tnn.BatchNorm1d(cout))
+            self.shortcut = tnn.Sequential(
+                tnn.Conv1d(cin, cout, 1), tnn.BatchNorm1d(cout))
+
+        def forward(self, x):
+            return tnn.functional.leaky_relu(
+                self.net(x) + self.shortcut(x), 0.2)
+
+    tb = TBlock().eval()
+    for m in tb.modules():
+        if isinstance(m, tnn.BatchNorm1d):
+            m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.3)
+            m.running_var.copy_(torch.rand_like(m.running_var) + 0.5)
+
+    x = torch.randn(2, cin, 17)
+    with torch.no_grad():
+        want = tb(x).numpy()
+
+    fb = ResDenseBlock(cout)
+    template = fb.init(jax.random.key(0), jnp.zeros((2, 17, cin)), False)
+    b = _MapBuilder()
+    b.res_dense("", "", shortcut=True)
+    entries = [(tk.lstrip("."), coll, fp.lstrip("/"), tag)
+               for tk, coll, fp, tag in b.entries]
+    variables = _to_flax(entries, tb, template)
+    got = fb.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 1)),
+                   False)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_mini_pointnet_matches_torch():
+    torch.manual_seed(2)
+    f = 8
+
+    class TNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            for i in (1, 2, 3):
+                setattr(self, f"layer_{i}", tnn.Sequential(
+                    tnn.Conv1d(3 if i == 1 else f, f, 1),
+                    tnn.BatchNorm1d(f), tnn.LeakyReLU(0.2)))
+
+        def forward(self, x):
+            return self.layer_3(self.layer_2(self.layer_1(x)))
+
+    tb = TNet().eval()
+    x = torch.randn(2, 3, 25)
+    with torch.no_grad():
+        want = tb(x).numpy()
+
+    fb = MiniPointNet(f)
+    template = fb.init(jax.random.key(0), jnp.zeros((2, 25, 3)), False)
+    b = _MapBuilder()
+    b.mini_pointnet("", "")
+    entries = [(tk.lstrip("."), coll, fp.lstrip("/"), tag)
+               for tk, coll, fp, tag in b.entries]
+    variables = _to_flax(entries, tb, template)
+    got = fb.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 1)),
+                   False)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_linear_attention_matches_torch():
+    """Full LoFTR linear-attention block vs a torch transcription of the
+    reference formula (LinearAttention.py:38-73)."""
+    torch.manual_seed(3)
+    d, h = 16, 4
+
+    class TLA(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.q_proj = tnn.Linear(d, d, bias=False)
+            self.k_proj = tnn.Linear(d, d, bias=False)
+            self.v_proj = tnn.Linear(d, d, bias=False)
+            self.merge = tnn.Linear(d, d, bias=False)
+            self.mlp = tnn.Sequential(
+                tnn.Linear(2 * d, 2 * d, bias=False), tnn.ReLU(),
+                tnn.Dropout(0.0), tnn.Linear(2 * d, d, bias=False),
+                tnn.Dropout(0.0))
+            self.norm1 = tnn.LayerNorm(d)
+            self.norm2 = tnn.LayerNorm(d)
+
+        def forward(self, x, y):
+            bs = x.size(0)
+            dim = d // h
+            q = self.q_proj(x).view(bs, -1, h, dim)
+            k = self.k_proj(y).view(bs, -1, h, dim)
+            v = self.v_proj(y).view(bs, -1, h, dim)
+            Q = tnn.functional.elu(q) + 1
+            K = tnn.functional.elu(k) + 1
+            vl = v.size(1)
+            v = v / vl
+            KV = torch.einsum("nshd,nshv->nhdv", K, v)
+            Z = 1 / (torch.einsum("nlhd,nhd->nlh", Q, K.sum(dim=1)) + 1e-6)
+            msg = torch.einsum("nlhd,nhdv,nlh->nlhv", Q, KV, Z) * vl
+            msg = self.norm1(self.merge(msg.reshape(bs, -1, d)))
+            msg = self.norm2(self.mlp(torch.cat([x, msg], dim=2)))
+            return x + msg
+
+    tb = TLA().eval()
+    x = torch.randn(2, 12, d)
+    y = torch.randn(2, 9, d)
+    with torch.no_grad():
+        want = tb(x, y).numpy()
+
+    fb = LinearAttention(num_heads=h)
+    template = fb.init(jax.random.key(0), jnp.zeros((2, 12, d)),
+                       jnp.zeros((2, 9, d)), False)
+    b = _MapBuilder()
+    b.linear_attention("", "")
+    entries = [(tk.lstrip("."), coll, fp.lstrip("/"), tag)
+               for tk, coll, fp, tag in b.entries]
+    variables = _to_flax(entries, tb, template)
+    got = fb.apply(variables, jnp.asarray(x.numpy()), jnp.asarray(y.numpy()),
+                   False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=1e-5)

@@ -197,3 +197,71 @@ def test_linear_attention_matches_torch():
     got = fb.apply(variables, jnp.asarray(x.numpy()), jnp.asarray(y.numpy()),
                    False)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=1e-5)
+
+
+def test_vit_cross_block_matches_torch():
+    """Pre-norm cross-attention block vs a torch transcription of the
+    reference Block (IMGPCEncoder.py:14-102), incl. the shared-LayerNorm
+    quirk and eps=1e-6."""
+    torch.manual_seed(4)
+    d, heads, mlp_dim = 16, 4, 32
+
+    class TAttn(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.query = tnn.Linear(d, d)
+            self.key = tnn.Linear(d, d)
+            self.value = tnn.Linear(d, d)
+            self.out = tnn.Linear(d, d)
+
+        def forward(self, xq, ykv):
+            hd = d // heads
+            def split(t):
+                b, n, _ = t.shape
+                return t.view(b, n, heads, hd).permute(0, 2, 1, 3)
+            q, k, v = split(self.query(xq)), split(self.key(ykv)), \
+                split(self.value(ykv))
+            att = torch.softmax(q @ k.transpose(-1, -2) / (hd ** 0.5), -1)
+            ctx = (att @ v).permute(0, 2, 1, 3).reshape(xq.shape)
+            return self.out(ctx)
+
+    class TBlock(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.attention_norm = tnn.LayerNorm(d, eps=1e-6)
+            self.ffn_norm = tnn.LayerNorm(d, eps=1e-6)
+            self.attn = TAttn()
+            self.ffn = tnn.Sequential()
+            self.ffn.fc1 = tnn.Linear(d, mlp_dim)
+            self.ffn.fc2 = tnn.Linear(mlp_dim, d)
+
+        def forward(self, x, y):
+            h = x
+            xn = self.attention_norm(x)
+            yn = self.attention_norm(y)  # shared-norm quirk
+            x = h + self.attn(xn, yn)
+            h = x
+            x = self.ffn.fc2(tnn.functional.gelu(self.ffn.fc1(
+                self.ffn_norm(x))))
+            return h + x
+
+    tb = TBlock().eval()
+    x = torch.randn(2, 7, d)
+    y = torch.randn(2, 5, d)
+    with torch.no_grad():
+        want = tb(x, y).numpy()
+
+    from cmr_agent_tpu.models.layers import ViTCrossBlock
+    fb = ViTCrossBlock(num_heads=heads, mlp_dim=mlp_dim,
+                       attention_dropout=0.0, mlp_dropout=0.0)
+    template = fb.init(jax.random.key(0), jnp.zeros((2, 7, d)),
+                       jnp.zeros((2, 5, d)), False)
+    b = _MapBuilder()
+    b.cross_block("", "")
+    entries = [(tk.lstrip("."), coll, fp.lstrip("/"), tag)
+               for tk, coll, fp, tag in b.entries]
+    # our name map nests attention under ViTAttention_0 / mlp under ViTMlp_0
+    variables = _to_flax(entries, tb, template)
+    got = fb.apply(variables, jnp.asarray(x.numpy()), jnp.asarray(y.numpy()),
+                   False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)

@@ -149,9 +149,9 @@ def main(argv=None):
                                   batch)
             traj, _, _ = rollout(agent_state, geo_out, batch,
                                  jax.random.key(global_step))
-            buffer.add(jax.tree.map(np.asarray, traj))
+            buffer.add(traj)  # stays on device (no host round-trip)
             logger.log("train_loss/reward",
-                       float(np.mean(np.asarray(traj["reward"]))), global_step)
+                       float(jnp.mean(traj["reward"])), global_step)
 
             if len(buffer) == cfg.num_trajectory:
                 samples = buffer.samples()
@@ -161,8 +161,8 @@ def main(argv=None):
                 # full minibatches only: a ragged tail would retrace the jit
                 for s in range(0, n - cfg.ppo_batch_size + 1,
                                cfg.ppo_batch_size):
-                    rows = order[s:s + cfg.ppo_batch_size]
-                    mb = {k: jnp.asarray(np.asarray(v)[rows])
+                    rows = jnp.asarray(order[s:s + cfg.ppo_batch_size])
+                    mb = {k: jnp.take(v, rows, axis=0)
                           for k, v in samples.items()}
                     agent_state, metrics = update(agent_state, mb)
                     bc_losses.append(float(metrics["bc_loss"]))

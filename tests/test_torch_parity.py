@@ -265,3 +265,132 @@ def test_vit_cross_block_matches_torch():
     got = fb.apply(variables, jnp.asarray(x.numpy()), jnp.asarray(y.numpy()),
                    False)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_group_point_transformer_matches_torch():
+    """GroupPointTransformer vs a torch transcription of the reference
+    (PointNN.py:126-185) with the torch_scatter group softmax emulated by
+    index-wise loops (small N)."""
+    torch.manual_seed(5)
+    f, n, m, b = 8, 40, 6, 2
+
+    class TGPT(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1_0 = tnn.Conv1d(f, f, 1)
+            self.fc1_1 = tnn.Conv1d(f, f, 1)
+            self.fc2 = tnn.Conv1d(f, f, 1)
+            self.fc_delta = tnn.Sequential(tnn.Conv1d(3, f, 1), tnn.ReLU(),
+                                           tnn.Conv1d(f, f, 1))
+            self.fc_gamma = tnn.Sequential(tnn.Conv1d(f, f, 1), tnn.ReLU(),
+                                           tnn.Conv1d(f, f, 1))
+            self.w_qs = tnn.Conv1d(f, f, 1, bias=False)
+            self.w_ks = tnn.Conv1d(f, f, 1, bias=False)
+            self.w_vs = tnn.Conv1d(f, f, 1, bias=False)
+
+        def forward(self, xyz, xf, node, nf, idx):
+            pre = nf
+            x = self.fc1_0(xf)
+            xx = self.fc1_1(nf)
+            q = torch.gather(self.w_qs(xx),
+                             index=idx.unsqueeze(1).expand(b, f, n), dim=2)
+            k, v = self.w_ks(x), self.w_vs(x)
+            centers = torch.gather(node,
+                                   index=idx.unsqueeze(1).expand(b, 3, n),
+                                   dim=2)
+            pos = self.fc_delta(xyz - centers)
+            attn = self.fc_gamma(q - k + pos) / (f ** 0.5)
+            # group softmax via loops
+            out = torch.zeros(b, f, m)
+            for bb in range(b):
+                for g in range(m):
+                    rows = (idx[bb] == g).nonzero().flatten()
+                    if rows.numel() == 0:
+                        continue
+                    a = attn[bb][:, rows]
+                    a = torch.softmax(a, dim=1)
+                    out[bb][:, g] = (a * (v + pos)[bb][:, rows]).sum(1)
+            return self.fc2(out) + pre
+
+    tb = TGPT().eval()
+    xyz = torch.randn(b, 3, n)
+    node = torch.randn(b, 3, m)
+    xf = torch.randn(b, f, n)
+    nf = torch.randn(b, f, m)
+    idx = torch.randint(0, m, (b, n))
+    with torch.no_grad():
+        want = tb(xyz, xf, node, nf, idx).numpy()
+
+    from cmr_agent_tpu.models.point_encoder import GroupPointTransformer
+    fb = GroupPointTransformer(f)
+    args = (jnp.asarray(xyz.numpy().transpose(0, 2, 1)),
+            jnp.asarray(xf.numpy().transpose(0, 2, 1)),
+            jnp.asarray(node.numpy().transpose(0, 2, 1)),
+            jnp.asarray(nf.numpy().transpose(0, 2, 1)),
+            jnp.asarray(idx.numpy().astype(np.int32)))
+    template = fb.init(jax.random.key(0), *args)
+    bm = _MapBuilder()
+    bm.group_pt("", "")
+    entries = [(tk.lstrip("."), coll, fp.lstrip("/"), tag)
+               for tk, coll, fp, tag in bm.entries]
+    variables = _to_flax(entries, tb, template)
+    got = fb.apply(variables, *args)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_knn_point_transformer_matches_torch():
+    """KnnPointTransformer vs a torch transcription of the reference
+    (PointNN.py:188-232): dense knn + per-channel softmax vector attention."""
+    torch.manual_seed(6)
+    f, n, b, kk = 8, 30, 2, 4
+
+    class TKPT(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.fc1 = tnn.Linear(f, f)
+            self.fc2 = tnn.Linear(f, f)
+            self.fc_delta = tnn.Sequential(tnn.Linear(3, f), tnn.ReLU(),
+                                           tnn.Linear(f, f))
+            self.fc_gamma = tnn.Sequential(tnn.Linear(f, f), tnn.ReLU(),
+                                           tnn.Linear(f, f))
+            self.w_qs = tnn.Linear(f, f, bias=False)
+            self.w_ks = tnn.Linear(f, f, bias=False)
+            self.w_vs = tnn.Linear(f, f, bias=False)
+
+        def forward(self, xyz, feat):
+            # xyz [b, n, 3], feat [b, n, f]
+            d = torch.cdist(xyz, xyz) ** 2
+            knn_idx = d.argsort()[:, :, :kk]
+            def gather(t):
+                return torch.stack([t[i][knn_idx[i]] for i in range(b)])
+            knn_xyz = gather(xyz)
+            pre = feat
+            x = self.fc1(feat)
+            q = self.w_qs(x)
+            k = gather(self.w_ks(x))
+            v = gather(self.w_vs(x))
+            pos = self.fc_delta(xyz[:, :, None] - knn_xyz)
+            attn = self.fc_gamma(q[:, :, None] - k + pos)
+            attn = torch.softmax(attn / (f ** 0.5), dim=-2)
+            res = torch.einsum("bmnf,bmnf->bmf", attn, v + pos)
+            return self.fc2(res) + pre
+
+    tb = TKPT().eval()
+    # distinct pairwise distances so knn tie order can't differ
+    xyz = torch.randn(b, n, 3) * 3
+    feat = torch.randn(b, n, f)
+    with torch.no_grad():
+        want = tb(xyz, feat).numpy()
+
+    from cmr_agent_tpu.models.point_encoder import KnnPointTransformer
+    fb = KnnPointTransformer(f, k=kk)
+    args = (jnp.asarray(xyz.numpy()), jnp.asarray(feat.numpy()))
+    template = fb.init(jax.random.key(0), *args)
+    bm = _MapBuilder()
+    bm.knn_pt("", "")
+    entries = [(tk.lstrip("."), coll, fp.lstrip("/"), tag)
+               for tk, coll, fp, tag in bm.entries]
+    variables = _to_flax(entries, tb, template)
+    got = fb.apply(variables, *args)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)

@@ -1,0 +1,144 @@
+"""Learning-convergence demonstration on synthetic data.
+
+Trains the tiny geo model, then the agent by behaviour cloning, and shows:
+
+1. geo loss decreasing,
+2. the trained agent reducing pose error vs the untrained agent,
+3. the expert's 10-step error as the floor.
+
+Runs anywhere (CPU ok); no dataset on disk required::
+
+    python examples/convergence_demo.py [--geo-steps N] [--agent-steps M]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from cmr_agent_tpu.config import tiny_config
+from cmr_agent_tpu.data import SyntheticDataset, DataLoader, collate
+from cmr_agent_tpu.env import (TrajectoryBuffer, init_poses, expert_action,
+                               apply_action, run_episode)
+from cmr_agent_tpu.ops import pose_diff, to_disentangled
+from cmr_agent_tpu.train import (create_geo_state, make_geo_train_step,
+                                 create_agent_state, make_rollout_fn,
+                                 make_ppo_update_step, make_val_episode_fn,
+                                 registration_metrics)
+from cmr_agent_tpu.train.train_geo import make_geo_forward
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--geo-steps", type=int, default=40)
+    p.add_argument("--agent-steps", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=4)
+    args = p.parse_args(argv)
+
+    cfg = tiny_config(train_batch_size=args.batch_size,
+                      num_trajectory=2, ppo_batch_size=8)
+    ds = SyntheticDataset(cfg, length=16)
+    loader = DataLoader(ds, args.batch_size, shuffle=True, num_workers=0)
+
+    # ---- stage 1: geo model ----
+    batches = [dict((k, jnp.asarray(v)) for k, v in b.items())
+               for b in loader]
+    geo_state = create_geo_state(cfg, batches[0], jax.random.key(0))
+    geo_step = make_geo_train_step(cfg)
+    t0 = time.time()
+    losses = []
+    for i in range(args.geo_steps):
+        geo_state, metrics = geo_step(geo_state, batches[i % len(batches)],
+                                      jax.random.key(i))
+        losses.append(float(metrics["loss"]))
+        if i % 10 == 0:
+            print(f"[geo] step {i:3d} loss {losses[-1]:.4f}", flush=True)
+    print(f"[geo] loss {losses[0]:.4f} -> {losses[-1]:.4f} "
+          f"({time.time()-t0:.0f}s)")
+    assert losses[-1] < losses[0]
+
+    # ---- stage 2: agent by behaviour cloning ----
+    fwd = make_geo_forward(cfg)
+    h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
+    agent_state = create_agent_state(
+        cfg, jnp.zeros((args.batch_size, h, w, 2 * f)),
+        jnp.zeros((args.batch_size, cfg.num_pt, 5)), jax.random.key(1))
+    # deep-copy: the PPO update donates its input state's buffers
+    untrained = jax.tree.map(jnp.copy, agent_state)
+
+    rollout = make_rollout_fn(cfg)
+    update = make_ppo_update_step(cfg)
+    val = make_val_episode_fn(cfg)
+    buffer = TrajectoryBuffer(cfg.gamma, cfg.gae_lambda)
+    rng = np.random.default_rng(0)
+
+    t0 = time.time()
+    bc_first = bc_last = None
+    for i in range(args.agent_steps):
+        batch = batches[i % len(batches)]
+        geo_out = fwd(geo_state.params, geo_state.batch_stats, batch)
+        traj, _, _ = rollout(agent_state, geo_out, batch, jax.random.key(i))
+        buffer.add(traj)
+        if len(buffer) == cfg.num_trajectory:
+            samples = buffer.samples()
+            n = samples["state_2d"].shape[0]
+            order = rng.permutation(n)
+            for s in range(0, n - cfg.ppo_batch_size + 1, cfg.ppo_batch_size):
+                rows = jnp.asarray(order[s:s + cfg.ppo_batch_size])
+                mb = {k: jnp.take(v, rows, axis=0)
+                      for k, v in samples.items()}
+                agent_state, m = update(agent_state, mb)
+                bc_last = float(m["bc_loss"])
+                if bc_first is None:
+                    bc_first = bc_last
+            buffer.clear()
+            print(f"[agent] step {i:3d} bc_loss {bc_last:.4f}", flush=True)
+    print(f"[agent] bc_loss {bc_first:.4f} -> {bc_last:.4f} "
+          f"({time.time()-t0:.0f}s)")
+
+    # ---- evaluation: untrained vs trained vs expert ----
+    def eval_agent(state):
+        rte_all, rre_all = [], []
+        for batch in batches:
+            geo_out = fwd(geo_state.params, geo_state.batch_stats, batch)
+            _, rte, rre = val(state, geo_out, batch)
+            rte_all += np.asarray(rte).tolist()
+            rre_all += np.asarray(rre).tolist()
+        return float(np.mean(rte_all)), float(np.mean(rre_all))
+
+    def eval_expert():
+        r_steps = jnp.asarray(cfg.r_steps_array())
+        t_steps = jnp.asarray(cfg.t_steps_array())
+        rte_all, rre_all = [], []
+        for batch in batches:
+            pose, tgt = init_poses(batch)
+            tgt = to_disentangled(tgt, batch["pc"])
+            for _ in range(cfg.action_num):
+                ar, at = expert_action(pose, tgt, r_steps, t_steps)
+                pose = apply_action(ar, at, pose, r_steps, t_steps)
+            rte, rre = pose_diff(pose, tgt)
+            rte_all += np.asarray(rte).tolist()
+            rre_all += np.asarray(rre).tolist()
+        return float(np.mean(rte_all)), float(np.mean(rre_all))
+
+    u_rte, u_rre = eval_agent(untrained)
+    t_rte, t_rre = eval_agent(agent_state)
+    e_rte, e_rre = eval_expert()
+    print("\n               RTE (m)   RRE (deg)")
+    print(f"untrained agent {u_rte:8.3f} {u_rre:10.3f}")
+    print(f"trained agent   {t_rte:8.3f} {t_rre:10.3f}")
+    print(f"expert (floor)  {e_rte:8.3f} {e_rre:10.3f}")
+    return {"untrained": (u_rte, u_rre), "trained": (t_rte, t_rre),
+            "expert": (e_rte, e_rre), "geo_losses": losses,
+            "bc": (bc_first, bc_last)}
+
+
+if __name__ == "__main__":
+    main()

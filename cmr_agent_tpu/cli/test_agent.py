@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import DataLoader
-from ..models import CMRAgent
 from ..train import (create_agent_state, make_val_episode_fn,
                      restore_checkpoint, registration_metrics,
                      convert_torch_agent)

@@ -23,7 +23,7 @@ import numpy as np
 from ..data import DataLoader
 from ..models import IterModel
 from ..models.multi_head import matching_inlier_ratio
-from ..ops.geometry import pose_diff, se3_inverse
+from ..ops.geometry import pose_diff
 from ..train import restore_checkpoint
 from ..train.convert import convert_torch_itermodel
 from ..train.train_geo import make_geo_forward

@@ -25,7 +25,7 @@ import numpy as np
 from ..data import DataLoader, collate
 from ..env import TrajectoryBuffer
 from ..models import MultiHeadModel
-from ..train import (create_geo_state, create_agent_state, make_rollout_fn,
+from ..train import (create_agent_state, make_rollout_fn,
                      make_ppo_update_step, make_val_episode_fn,
                      save_checkpoint, restore_checkpoint, MetricLogger,
                      convert_torch_multihead)

@@ -8,7 +8,6 @@ geometry pipeline. Samples come out channels-last.
 
 from __future__ import annotations
 
-import math
 import os
 from typing import Dict, List, Tuple
 

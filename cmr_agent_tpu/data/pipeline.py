@@ -20,8 +20,7 @@ Extensions over the reference (SURVEY.md §2.4 drift fixes):
 
 from __future__ import annotations
 
-import math
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -20,12 +20,9 @@ Everything here is jit/vmap/scan-safe: static shapes, no host sync.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
-from ..config import Config
 from ..ops.geometry import (euler_angles_to_matrix_xyz, frustum_mask,
                             matrix_to_euler_xyz_extrinsic, project_points,
                             transform_points_disentangled)

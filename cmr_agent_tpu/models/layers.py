@@ -14,7 +14,7 @@ The reference expresses pointwise stacks as ``Conv1d(k=1)+BatchNorm1d``
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

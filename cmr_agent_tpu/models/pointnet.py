@@ -10,7 +10,7 @@ device-side FPS/ball-query from :mod:`cmr_agent_tpu.ops.sampling`.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

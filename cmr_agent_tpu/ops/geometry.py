@@ -19,7 +19,6 @@ Euler conventions used by the reference (all reproduced here):
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -8,7 +8,7 @@ the mesh); see :mod:`cmr_agent_tpu.parallel.mesh`.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

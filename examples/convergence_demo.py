@@ -76,6 +76,20 @@ def main(argv=None):
     rollout = make_rollout_fn(cfg)
     update = make_ppo_update_step(cfg)
     val = make_val_episode_fn(cfg)
+
+    @jax.jit
+    def rollout_det(agent_state, geo_out, batch):
+        from cmr_agent_tpu.train.train_agent import _episode_state
+        state = _episode_state(geo_out, batch)
+        pose_src, pose_tgt = init_poses(state)
+        pose_tgt = to_disentangled(pose_tgt, state["pc"])
+        apply_fn = lambda v, o2, o3: agent_state.apply_fn(v, o2, o3,
+                                                          train=False)
+        avars = {"params": agent_state.params,
+                 "batch_stats": agent_state.batch_stats}
+        return run_episode(apply_fn, avars, state, pose_src, pose_tgt, cfg,
+                           deterministic=True, with_expert=True,
+                           collect_trajectory=True)[1], 0, 0
     buffer = TrajectoryBuffer(cfg.gamma, cfg.gae_lambda)
     rng = np.random.default_rng(0)
 
@@ -103,7 +117,21 @@ def main(argv=None):
     print(f"[agent] bc_loss {bc_first:.4f} -> {bc_last:.4f} "
           f"({time.time()-t0:.0f}s)")
 
-    # ---- evaluation: untrained vs trained vs expert ----
+    # ---- evaluation ----
+    def eval_agreement(state):
+        """Deterministic-policy agreement with the expert along its own
+        trajectory (what behaviour cloning optimises)."""
+        agree, total = 0, 0
+        for batch in batches:
+            geo_out = fwd(geo_state.params, geo_state.batch_stats, batch)
+            traj, _, _ = rollout_det(state, geo_out, batch)
+            for k in ("r", "t"):
+                a = np.asarray(traj[f"action_{k}"])
+                e = np.asarray(traj[f"expert_action_{k}"])
+                agree += (a == e).sum()
+                total += a.size
+        return agree / total
+
     def eval_agent(state):
         rte_all, rre_all = [], []
         for batch in batches:
@@ -128,14 +156,18 @@ def main(argv=None):
             rre_all += np.asarray(rre).tolist()
         return float(np.mean(rte_all)), float(np.mean(rre_all))
 
+    u_agree = eval_agreement(untrained)
+    t_agree = eval_agreement(agent_state)
     u_rte, u_rre = eval_agent(untrained)
     t_rte, t_rre = eval_agent(agent_state)
     e_rte, e_rre = eval_expert()
-    print("\n               RTE (m)   RRE (deg)")
-    print(f"untrained agent {u_rte:8.3f} {u_rre:10.3f}")
-    print(f"trained agent   {t_rte:8.3f} {t_rre:10.3f}")
-    print(f"expert (floor)  {e_rte:8.3f} {e_rre:10.3f}")
-    return {"untrained": (u_rte, u_rre), "trained": (t_rte, t_rre),
+    print("\n                 expert-agreement   RTE (m)   RRE (deg)")
+    print(f"untrained agent        {u_agree:6.1%}   {u_rte:8.3f} {u_rre:10.3f}")
+    print(f"trained agent          {t_agree:6.1%}   {t_rte:8.3f} {t_rre:10.3f}")
+    print(f"expert (floor)              -   {e_rte:8.3f} {e_rre:10.3f}")
+    assert t_agree > u_agree, "BC should raise expert-action agreement"
+    return {"agreement": (u_agree, t_agree),
+            "untrained": (u_rte, u_rre), "trained": (t_rte, t_rre),
             "expert": (e_rte, e_rre), "geo_losses": losses,
             "bc": (bc_first, bc_last)}
 

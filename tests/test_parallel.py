@@ -63,3 +63,24 @@ def test_batch_sharding_layout():
     x = jnp.zeros((8, 16, 3))
     sharded = jax.device_put(x, batch_sharding(mesh, x.ndim))
     assert sharded.sharding.spec == P("dp", None, None)
+
+
+def test_sharded_forward_with_sp():
+    from cmr_agent_tpu.parallel import make_sharded_geo_forward
+    from cmr_agent_tpu.models import MultiHeadModel
+    ds = SyntheticDataset(CFG, length=4)
+    batch = collate([ds[i] for i in range(4)])
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    model = MultiHeadModel(CFG)
+    v = model.init({"params": jax.random.key(0),
+                    "dropout": jax.random.key(1)},
+                   batch, train=False, with_loss=False)
+    want = model.apply(v, batch, train=False, with_loss=False)
+
+    mesh = make_mesh((2, 2), ("dp", "sp"), devices=jax.devices()[:4])
+    fwd = make_sharded_geo_forward(CFG, mesh, use_sp=True)
+    got = fwd(v["params"], v["batch_stats"], batch)
+    np.testing.assert_allclose(np.asarray(got["pc_geo_feat"]),
+                               np.asarray(want["pc_geo_feat"]),
+                               rtol=5e-3, atol=5e-3)

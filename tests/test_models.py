@@ -197,3 +197,65 @@ def test_bfloat16_compute_dtype(cfg, batch):
     # params identical trees (dtype plumbing adds no leaves)
     assert jax.tree.structure(v["params"]) == jax.tree.structure(
         m16.init(rngs, batch, train=False, with_loss=True)["params"])
+
+
+def test_nuscenes_shaped_geometry_end_to_end():
+    """Non-KITTI fused-map shapes work end to end (the reference hardcodes
+    40x128/5120 and breaks on NuScenes: MultiHeadModel.py:340,
+    IMGPCEnDecoder.py:56, IterModel.py:317). Exercises geo forward, the
+    episode observation and the cost volume at a NuScenes-ratio tiny shape
+    (fused map 16x40)."""
+    from cmr_agent_tpu.data import SyntheticDataset, collate
+    from cmr_agent_tpu.env import init_poses, run_episode
+    from cmr_agent_tpu.ops import to_disentangled
+
+    cfg = tiny_config(cropped_img_h=64, cropped_img_w=160)
+    assert (cfg.image_h, cfg.image_w) == (16, 40)
+    ds = SyntheticDataset(cfg, length=2)
+    batch = {k: jnp.asarray(v) for k, v in collate([ds[0], ds[1]]).items()}
+
+    model = MultiHeadModel(cfg)
+    v = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                   batch, train=False, with_loss=True)
+    out = model.apply(v, batch, train=False, with_loss=True)
+    assert out["fused_img_feat"].shape == (2, 16, 40, cfg.embed_dim)
+    assert np.isfinite(float(out["loss"]))
+
+    # episode
+    agent = CMRAgent(cfg)
+    state = {
+        "pc": out["pc"], "K": batch["K"],
+        "pc_overlap_pred": out["pc_overlap_pred"],
+        "pc_geo_feat": out["pc_geo_feat"],
+        "img_geo_feat": out["img_geo_feat"],
+        "pc_in_cam_space": batch["pc_in_cam_space"],
+        "pc_mask": batch["pc_mask"], "P": batch["P"],
+    }
+    h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
+    av = agent.init(jax.random.key(1), jnp.zeros((2, h, w, 2 * f)),
+                    jnp.zeros((2, cfg.num_pt, 5)), train=False)
+    pose_src, pose_tgt = init_poses(state)
+    pose_tgt = to_disentangled(pose_tgt, state["pc"])
+    final, _ = run_episode(
+        lambda vv, o2, o3: agent.apply(vv, o2, o3, train=False), av, state,
+        pose_src, pose_tgt, cfg, deterministic=True)
+    assert final.shape == (2, 4, 4)
+
+    # cost volume
+    it_state = {
+        "pc_i": out["pc"][:1], "K": batch["K"][:1],
+        "pc_geo_feat": out["pc_geo_feat"][:1],
+        "img_geo_feat": out["img_geo_feat"][:1],
+        "pc_overlap_pred": out["pc_overlap_pred"][:1],
+        "pc_overlap_pred_standby": out["pc_overlap_pred_standby"][:1],
+        "pc_is_in_cam_scores": out["pc_is_in_cam_scores"][:1],
+        "img_overlap_pred": out["img_overlap_pred"][:1],
+        "matrix_accumulated": out["matrix_accumulated"][:1],
+        "R_amplitude": batch["R_amplitude"][:1],
+        "T_amplitude": batch["T_amplitude"][:1],
+    }
+    iterm = IterModel(cfg)
+    iv = iterm.init({"params": jax.random.key(2)}, it_state, train=False,
+                    with_loss=False)
+    iout = iterm.apply(iv, it_state, train=False, with_loss=False)
+    assert iout["cost_volume_logits"].shape == (1, cfg.nlabel**3)

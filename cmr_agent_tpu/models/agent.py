@@ -16,11 +16,73 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import Config
-from .layers import ResDenseBlock, BatchNorm, torch_kernel_init
+from typing import Any
+
+from .layers import (ResDenseBlock, BatchNorm, leaky, torch_kernel_init)
 
 
 def _avg_pool(x, window):
     return nn.avg_pool(x, window, strides=window, padding="VALID")
+
+
+class _SplitInputDense(nn.Module):
+    """Dense over a virtual ``concat([feat, pooled_broadcast])`` input.
+
+    The reference's 3-D state stack concatenates a max-pooled global vector
+    (broadcast over all 40960 points) onto the per-point features before
+    each layer (CMRAgent.py:96-99). Materialising that broadcast+concat is
+    pure HBM traffic — the stack measures at the bandwidth roofline — so
+    this layer keeps the SAME parameter (one kernel over the concatenated
+    width, converter-compatible) but computes
+
+        feat @ kernel[:F] + pooled @ kernel[F:] + bias
+
+    where the second term is a [B, 1, out] broadcast-add.
+    """
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, feat, pooled):
+        f_in = feat.shape[-1] + pooled.shape[-1]
+        kernel = self.param("kernel", torch_kernel_init,
+                            (f_in, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dt = self.dtype or feat.dtype
+        k = kernel.astype(dt)
+        per_point = feat.astype(dt) @ k[: feat.shape[-1]]
+        global_part = pooled.astype(dt) @ k[feat.shape[-1]:]
+        return per_point + global_part + bias.astype(dt)
+
+
+class _ResDenseSplitBlock(nn.Module):
+    """ResDenseBlock whose input is the virtual concat (feat, pooled).
+
+    Identical math and parameter tree to
+    :class:`cmr_agent_tpu.models.layers.ResDenseBlock` applied to
+    ``concat([feat, broadcast(pooled)])`` (Dense_0/BatchNorm_0/Dense_1/
+    BatchNorm_1 + Dense_2/BatchNorm_2 shortcut), without materialising the
+    concat.
+    """
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, feat, pooled, train: bool):
+        in_features = feat.shape[-1] + pooled.shape[-1]
+        h = _SplitInputDense(in_features, dtype=self.dtype,
+                             name="Dense_0")(feat, pooled)
+        h = BatchNorm(name="BatchNorm_0")(h, train)
+        h = leaky(h)
+        h = nn.Dense(self.features, kernel_init=torch_kernel_init,
+                     dtype=self.dtype, name="Dense_1")(h)
+        h = BatchNorm(name="BatchNorm_1")(h, train)
+        s = _SplitInputDense(self.features, dtype=self.dtype,
+                             name="Dense_2")(feat, pooled)
+        s = BatchNorm(name="BatchNorm_2")(s, train)
+        return leaky(h + s)
 
 
 class CMRAgent(nn.Module):
@@ -35,19 +97,23 @@ class CMRAgent(nn.Module):
         state_3d = state_3d.astype(dt)
 
         # <-- 3-D branch: ConvBNReLURes1D stack with max-pool re-broadcast
-        #     (CMRAgent.py:25-29, 92-101) -->
-        dims = [f, f, f, 2 * f]
-        embed = state_3d
-        n = state_3d.shape[1]
-        for i, d in enumerate(dims):
-            feat = ResDenseBlock(d, dtype=dt, name=f"state3d_{i}")(embed, train)
-            pooled = jnp.max(feat, axis=1, keepdims=True)        # [B, 1, d]
-            if i < len(dims) - 1:
-                embed = jnp.concatenate(
-                    [feat, jnp.broadcast_to(pooled, feat.shape)], axis=-1)
-            else:
-                embed = pooled
-        embed_3d = embed.reshape(embed.shape[0], -1)             # [B, 2f]
+        #     (CMRAgent.py:25-29, 92-101). The broadcast+concat between
+        #     stages is never materialised for the projected-shortcut
+        #     layers (see _ResDenseSplitBlock) — the stack runs at the HBM
+        #     roofline, so this is a direct traffic cut. -->
+        feat = ResDenseBlock(f, dtype=dt, name="state3d_0")(state_3d, train)
+        pooled = jnp.max(feat, axis=1, keepdims=True)            # [B, 1, f]
+        feat = _ResDenseSplitBlock(f, dtype=dt, name="state3d_1")(
+            feat, pooled, train)
+        pooled = jnp.max(feat, axis=1, keepdims=True)
+        feat = _ResDenseSplitBlock(f, dtype=dt, name="state3d_2")(
+            feat, pooled, train)
+        pooled = jnp.max(feat, axis=1, keepdims=True)
+        # last stage: identity shortcut (2f -> 2f), concat materialised
+        embed = jnp.concatenate(
+            [feat, jnp.broadcast_to(pooled, feat.shape)], axis=-1)
+        feat = ResDenseBlock(2 * f, dtype=dt, name="state3d_3")(embed, train)
+        embed_3d = jnp.max(feat, axis=1)                         # [B, 2f]
 
         # <-- 2-D branch: conv/avg-pool pyramid (CMRAgent.py:31-60) -->
         # Default-slope (0.01) LeakyReLU, matching torch nn.LeakyReLU().

@@ -73,12 +73,16 @@ def main(argv=None):
                 mean = {k: float(np.mean([m[k] for m in val_metrics]))
                         for k in val_metrics[0]}
                 logger.log_dict(mean, global_step, prefix="val/")
+                # Save only on improvement, like the reference
+                # (/root/reference/Train_Geo.py:156-163).
                 if np.isfinite(mean["loss"]) and mean["loss"] < best_loss:
                     best_loss = mean["loss"]
-                save_checkpoint(
-                    os.path.join(ckpt_dir, f"epoch-{epoch}-step-{global_step}"),
-                    {"params": state.params, "batch_stats": state.batch_stats,
-                     "step": state.step})
+                    save_checkpoint(
+                        os.path.join(ckpt_dir,
+                                     f"epoch-{epoch}-step-{global_step}"),
+                        {"params": state.params,
+                         "batch_stats": state.batch_stats,
+                         "step": state.step})
                 print(f"[val] step {global_step} loss {mean['loss']:.4f} "
                       f"(best {best_loss:.4f})")
 

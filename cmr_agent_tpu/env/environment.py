@@ -48,8 +48,10 @@ def compact_observation_state(state, k: int):
 
     Returns a new state dict with ``raster_pc [B,k,3]``, ``raster_feat
     [B,k,F]``, ``raster_valid [B,k]`` consumed by
-    :func:`observation_from_pose`. The 3-D observation still sees the full
-    cloud.
+    :func:`observation_from_pose`, plus ``raster_dropped [B]`` — the number
+    of overlap points silently excluded because more than ``k`` passed the
+    mask (0 whenever the compaction is exact). The 3-D observation still
+    sees the full cloud.
     """
     scores = state.get("pc_is_in_cam_scores",
                        state["pc_overlap_pred"].astype(jnp.float32))
@@ -62,10 +64,13 @@ def compact_observation_state(state, k: int):
     out["raster_feat"] = take(state["pc_geo_feat"])
     out["raster_valid"] = jnp.take_along_axis(
         state["pc_overlap_pred"], sel, axis=1)
+    n_overlap = state["pc_overlap_pred"].sum(axis=1).astype(jnp.int32)
+    out["raster_dropped"] = jnp.maximum(n_overlap - k, 0)
     return out
 
 
-def observation_from_pose(feats, pose, image_h: int, image_w: int):
+def observation_from_pose(feats, pose, image_h: int, image_w: int,
+                          use_pallas=None):
     """Render the 2-D and 3-D observations under the current pose estimate.
 
     Args:
@@ -105,7 +110,8 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int):
         yi = jnp.round(r_proj[..., 1]).astype(jnp.int32)
         pix = yi * image_w + xi
         proj_feat = scatter_mean_image(r_feat, pix, r_valid,
-                                       image_h, image_w)
+                                       image_h, image_w,
+                                       use_pallas=use_pallas)
         _, in_cam = project(pc)  # full-cloud frustum flags for the 3-D obs
     else:
         proj, in_cam = project(pc)
@@ -114,7 +120,8 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int):
         pix = yi * image_w + xi
         valid = in_cam & overlap
         proj_feat = scatter_mean_image(feats["pc_geo_feat"], pix, valid,
-                                       image_h, image_w)
+                                       image_h, image_w,
+                                       use_pallas=use_pallas)
 
     observation_2d = jnp.concatenate([feats["img_geo_feat"], proj_feat],
                                      axis=-1)

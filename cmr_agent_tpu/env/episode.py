@@ -94,7 +94,8 @@ def run_episode(
             exp_r = exp_t = None
 
         obs2d, obs3d = observation_from_pose(state, pose,
-                                             cfg.image_h, cfg.image_w)
+                                             cfg.image_h, cfg.image_w,
+                                             use_pallas=cfg.use_pallas)
         r_logits, t_logits, value = agent_apply(agent_vars, obs2d, obs3d)
 
         new_key, sub = jax.random.split(carry.key)

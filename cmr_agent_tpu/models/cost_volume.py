@@ -70,6 +70,8 @@ class IterModel(nn.Module):
     cfg: Config
     pose_chunk: int = 27   # CPU path: lax.map chunk bounding the working set
     warp_topk: int = 8192  # TPU path: static point-compaction bound
+    interpret: bool = False  # force the fused warp in Pallas interpret mode
+    # (CPU testing of the TPU path; never set in production)
 
     @nn.compact
     def __call__(self, state, train: bool = False, with_loss: bool = True):
@@ -146,11 +148,18 @@ class IterModel(nn.Module):
             aug = jnp.concatenate(
                 [feat_k, scores_k[..., None],
                  jnp.ones_like(scores_k)[..., None]], axis=-1)  # [B, K, F+2]
-            sums = segment_sum_fused_shared(aug, ids, npix)     # [B,P,npix,F+2]
+            sums = segment_sum_fused_shared(aug, ids, npix,
+                                            interpret=self.interpret)
             counts = sums[..., -1]
             wf = sums[..., :f] / jnp.maximum(counts[..., None], 1.0)
             occ = sums[..., f]
-            return wf, occ
+            # Observability for the static compaction bound: how many masked
+            # points were excluded because more than K passed the mask
+            # (0 = exact warp; reference semantics use ALL masked points,
+            # IterModel.py:301-321).
+            n_masked = mask.sum(axis=1).astype(jnp.int32)
+            dropped = jnp.maximum(n_masked - k_pts, 0)
+            return wf, occ, dropped
 
         def warp_chunk(pose_chunk):
             """pose_chunk [B, C, 4, 4] -> (mean feat [B,C,npix,F], occ [B,C,npix])."""
@@ -183,8 +192,9 @@ class IterModel(nn.Module):
 
             return jax.vmap(per_b)(ids, valid, feat, scores)
 
-        if use_pallas_default():
-            warped_feat, occupancy = warp_fused()
+        warp_dropped = jnp.zeros((b,), jnp.int32)
+        if self.interpret or use_pallas_default(cfg.use_pallas):
+            warped_feat, occupancy, warp_dropped = warp_fused()
         else:
             n_chunk = max(1, self.pose_chunk)
             assert n_pose % n_chunk == 0 or n_chunk >= n_pose, (
@@ -234,7 +244,8 @@ class IterModel(nn.Module):
                     name="cv_head_1")(x)
         logits = x.reshape(b, n_pose)
 
-        out = {"cost_volume_logits": logits}
+        out = {"cost_volume_logits": logits,
+               "warp_dropped_points": warp_dropped}
 
         if with_loss and "label_R" in state:
             label_r = state["label_R"].astype(jnp.float32)      # [B, n]

@@ -42,6 +42,7 @@ class GroupPointTransformer(nn.Module):
 
     d_model: int
     dtype: Any = None
+    use_pallas: Any = None  # Config.use_pallas; None = backend default
 
     @nn.compact
     def __call__(self, xyz, x_feat, node, node_feat, idx):
@@ -73,7 +74,8 @@ class GroupPointTransformer(nn.Module):
 
         # fused kernel computes in f32; cast back to the compute dtype
         agg = batched_segment_softmax_attend(
-            attn.astype(jnp.float32), (v + pos).astype(jnp.float32), idx, m)
+            attn.astype(jnp.float32), (v + pos).astype(jnp.float32), idx, m,
+            use_pallas=self.use_pallas)
         agg = agg.astype(attn.dtype)
         return dense(f, "fc2")(agg) + pre
 
@@ -139,19 +141,22 @@ class PointTransformer(nn.Module):
         x_feat = raw_mlp(pc_c, train)
         node_feat = raw_mlp(node_c, train)
 
-        node_feat = GroupPointTransformer(f, dtype=dt, name="group_0")(
+        node_feat = GroupPointTransformer(f, dtype=dt, use_pallas=cfg.use_pallas,
+                                          name="group_0")(
             pc, x_feat, node, node_feat, pt2node)
         back = index_points(node_feat, pt2node)
         x_feat = MiniPointNet(f, dtype=dt, name="point_mlp_0")(
             jnp.concatenate([x_feat, back], axis=-1), train)
 
-        node_feat = GroupPointTransformer(f, dtype=dt, name="group_1")(
+        node_feat = GroupPointTransformer(f, dtype=dt, use_pallas=cfg.use_pallas,
+                                          name="group_1")(
             pc, x_feat, node, node_feat, pt2node)
         back = index_points(node_feat, pt2node)
         x_feat = MiniPointNet(f, dtype=dt, name="point_mlp_1")(
             jnp.concatenate([x_feat, back], axis=-1), train)
 
-        node_feat = GroupPointTransformer(f, dtype=dt, name="group_node")(
+        node_feat = GroupPointTransformer(f, dtype=dt, use_pallas=cfg.use_pallas,
+                                          name="group_node")(
             pc, x_feat, node, node_feat, pt2node)
 
         # the 3 knn layers share one neighbourhood (coordinates are fixed;
@@ -169,7 +174,8 @@ class PointTransformer(nn.Module):
         d = jnp.linalg.norm(node[:, :, None, :] - proxy[:, None, :, :], axis=-1)
         node2proxy = jnp.argmin(d, axis=-1).astype(jnp.int32)
 
-        proxy_feat = GroupPointTransformer(f, dtype=dt, name="group_proxy")(
+        proxy_feat = GroupPointTransformer(f, dtype=dt, use_pallas=cfg.use_pallas,
+                                          name="group_proxy")(
             node, node_feat, proxy, proxy_feat, node2proxy)
 
         for i in range(cfg.num_sa_layer):

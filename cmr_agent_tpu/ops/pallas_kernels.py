@@ -149,7 +149,7 @@ def _bwd(num_segments, tile, interpret, res, g):
 segment_softmax_attend_fused.defvjp(_fwd, _bwd)
 
 
-def use_pallas_default() -> bool:
+def use_pallas_default(enabled=None) -> bool:
     """Pallas kernels run compiled on TPU only; XLA path elsewhere.
 
     On this TPU runtime the XLA scatter lowering is catastrophically slow
@@ -157,9 +157,16 @@ def use_pallas_default() -> bool:
     TPU the fused matmul kernels are the only viable path, not merely an
     optimisation.
 
+    Args:
+      enabled: optional ``Config.use_pallas`` flag. ``False`` forces the XLA
+        path even on TPU; ``True``/``None`` defer to backend capability
+        (Pallas never runs compiled on CPU).
+
     Honours ``jax.default_device`` overrides (e.g. a CPU-baseline run inside
     a TPU process), falling back to the process default backend.
     """
+    if enabled is False:
+        return False
     dev = jax.config.jax_default_device
     if dev is not None:
         return getattr(dev, "platform", "cpu") != "cpu"

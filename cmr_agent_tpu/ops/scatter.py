@@ -114,15 +114,17 @@ batched_segment_mean = jax.vmap(segment_mean, in_axes=(0, 0, None, None))
 
 def batched_segment_softmax_attend(attn: jnp.ndarray, values: jnp.ndarray,
                                    segment_ids: jnp.ndarray,
-                                   num_segments: int) -> jnp.ndarray:
+                                   num_segments: int,
+                                   use_pallas=None) -> jnp.ndarray:
     """[B, N, F] x [B, N] -> [B, M, F] segmented softmax attention.
 
     Routes to the fused Pallas kernel on TPU (scatters are not viable
     there, see module docstring) and to XLA segment ops elsewhere.
+    ``use_pallas=False`` (``Config.use_pallas``) forces the XLA path.
     """
     from .pallas_kernels import (segment_softmax_attend_fused,
                                  use_pallas_default)
-    if use_pallas_default():
+    if use_pallas_default(use_pallas):
         return segment_softmax_attend_fused(attn, values, segment_ids,
                                             num_segments)
     return jax.vmap(segment_softmax_attend, in_axes=(0, 0, 0, None))(
@@ -131,7 +133,7 @@ def batched_segment_softmax_attend(attn: jnp.ndarray, values: jnp.ndarray,
 
 def scatter_mean_image(feat: jnp.ndarray, pixel_ids: jnp.ndarray,
                        valid: jnp.ndarray, h: int, w: int,
-                       via: str = "auto") -> jnp.ndarray:
+                       via: str = "auto", use_pallas=None) -> jnp.ndarray:
     """Rasterise per-point features into an HxW mean image.
 
     Batched, static-shape equivalent of the reference's per-sample Python
@@ -152,7 +154,7 @@ def scatter_mean_image(feat: jnp.ndarray, pixel_ids: jnp.ndarray,
     pad = h * w
     ids = jnp.where(valid, pixel_ids, pad).astype(jnp.int32)
     from .pallas_kernels import segment_mean_count_fused, use_pallas_default
-    if use_pallas_default():
+    if use_pallas_default(use_pallas):
         # invalid points carry id == h*w == num_segments -> routed out
         pooled, _ = segment_mean_count_fused(feat, ids, pad, tile=256)
     else:

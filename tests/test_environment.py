@@ -330,6 +330,16 @@ def test_compacted_observation_matches_full():
     np.testing.assert_allclose(np.asarray(got2d), np.asarray(want2d),
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(got3d), np.asarray(want3d))
+    # exact compaction reports zero dropped points
+    np.testing.assert_array_equal(np.asarray(compact["raster_dropped"]), 0)
+
+    # k below the overlap count -> the surplus is counted, not silent
+    k_small = int(overlap.sum(1).min()) - 3
+    assert k_small > 0
+    tight = compact_observation_state(state, k_small)
+    want_drop = overlap.sum(1).astype(np.int32) - k_small
+    np.testing.assert_array_equal(np.asarray(tight["raster_dropped"]),
+                                  want_drop)
 
 
 def test_expert_and_step_6dof():

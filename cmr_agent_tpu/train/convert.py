@@ -369,10 +369,18 @@ def _load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 def convert_torch_multihead(cfg: Config, state_dict_or_path,
                             template: Dict) -> Dict:
-    """Convert ``geo_feat.pth`` (path or loaded dict) to flax variables."""
+    """Convert ``geo_feat.pth`` (path or loaded dict) to flax variables.
+
+    The reference's image ``Embeddings`` registers its MiniResNet and
+    patchify conv TWICE — as ``mini_resnet``/``patch_embeddings`` and again
+    inside the ``embedding_layers`` ModuleList (ImageViT.py:15-23) — so real
+    checkpoints carry exact-duplicate alias keys; the aliases are skipped.
+    """
     sd = (_load_torch_state_dict(state_dict_or_path)
           if isinstance(state_dict_or_path, str) else state_dict_or_path)
-    return apply_name_map(multihead_name_map(cfg), sd, template)
+    alias = "encoder_decoder.encoder.img_transformer.embeddings.embedding_layers."
+    return apply_name_map(multihead_name_map(cfg), sd, template,
+                          skip_torch=(alias,))
 
 
 def convert_torch_agent(cfg: Config, state_dict_or_path,

@@ -222,27 +222,30 @@ class IterModel(nn.Module):
                               axis=-1)                          # [B,P,H,W,2F+2]
 
         # <-- scoring tower: poses fold into batch; all (1,3,3) convs -->
-        x = vol.reshape(b * n_pose, h, w, 2 * f + 2)
+        # (runs in the config compute dtype: params stay f32, activations
+        # cast per cfg.compute_dtype, logits back to f32)
+        dt = cfg.jnp_dtype()
+        x = vol.reshape(b * n_pose, h, w, 2 * f + 2).astype(dt)
         lrelu = lambda v: nn.leaky_relu(v, negative_slope=0.01)
         widths = [(f, f), (f // 2, f // 2), (f // 4, f // 4), (f // 4, f // 8)]
         for si, (w0, w1) in enumerate(widths):
             x = nn.Conv(w0, (3, 3), padding=1, kernel_init=torch_kernel_init,
-                        name=f"cv_conv{si}_0")(x)
+                        dtype=dt, name=f"cv_conv{si}_0")(x)
             x = BatchNorm(name=f"cv_bn{si}")(x, train)
             x = lrelu(x)
             x = nn.Conv(w1, (3, 3), padding=1, kernel_init=torch_kernel_init,
-                        name=f"cv_conv{si}_1")(x)
+                        dtype=dt, name=f"cv_conv{si}_1")(x)
             x = lrelu(x)
             if si < 3:
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2), padding="VALID")
             else:
                 x = jnp.mean(x, axis=(1, 2), keepdims=True)  # global avg pool
         x = nn.Conv(f // 16, (1, 1), kernel_init=torch_kernel_init,
-                    name="cv_head_0")(x)
+                    dtype=dt, name="cv_head_0")(x)
         x = lrelu(x)
         x = nn.Conv(1, (1, 1), kernel_init=torch_kernel_init,
-                    name="cv_head_1")(x)
-        logits = x.reshape(b, n_pose)
+                    dtype=dt, name="cv_head_1")(x)
+        logits = x.reshape(b, n_pose).astype(jnp.float32)
 
         out = {"cost_volume_logits": logits,
                "warp_dropped_points": warp_dropped}

@@ -35,6 +35,13 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _contractT(a, b):
+    # a [T, F], b [T, M] -> a^T @ b [F, M] without an explicit transpose
+    # (MXU handles the transposed LHS natively via dimension numbers)
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _kernel(gmax_ref, attn_ref, val_ref, idx_ref, out_ref, sum_ref):
     t = pl.program_id(1)
 
@@ -47,14 +54,15 @@ def _kernel(gmax_ref, attn_ref, val_ref, idx_ref, out_ref, sum_ref):
     val = val_ref[0]                         # [T, F]
     ex = jnp.exp(attn - gmax_ref[0])         # [T, F]
 
-    m_pad = out_ref.shape[1]
+    m_pad = out_ref.shape[2]
     tile = attn.shape[0]
-    seg = jax.lax.broadcasted_iota(jnp.int32, (m_pad, tile), 0)
-    onehot = (seg == idx_ref[0]).astype(jnp.float32)   # [M, T]
+    # segment axis on the LANES (full 128-wide MXU tiles; the [M, T] x
+    # [T, F] orientation leaves F=64 output lanes half empty)
+    seg = jax.lax.broadcasted_iota(jnp.int32, (tile, m_pad), 1)
+    onehotT = (seg == idx_ref[0].reshape(tile, 1)).astype(jnp.float32)
 
-    sum_ref[0] += jnp.dot(onehot, ex, preferred_element_type=jnp.float32)
-    out_ref[0] += jnp.dot(onehot, ex * val,
-                          preferred_element_type=jnp.float32)
+    sum_ref[0] += _contractT(ex, onehotT)               # [F, M]
+    out_ref[0] += _contractT(ex * val, onehotT)
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _():
@@ -65,7 +73,7 @@ def _fused_forward(attn, values, idx, num_segments: int, tile: int,
                    interpret: bool):
     """attn/values [B,N,F] f32, idx [B,N] int32 -> (out [B,M,F], sumexp)."""
     b, n, f = attn.shape
-    m_pad = _round_up(num_segments, 8)
+    m_pad = _round_up(num_segments, 128)  # segment axis rides the lanes
     tile = min(tile, n)
     if n % tile != 0:
         pad = _round_up(n, tile) - n
@@ -98,17 +106,19 @@ def _fused_forward(attn, values, idx, num_segments: int, tile: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, m_pad, f), lambda bb, tt: (bb, 0, 0),
+            pl.BlockSpec((1, f, m_pad), lambda bb, tt: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m_pad, f), lambda bb, tt: (bb, 0, 0),
+            pl.BlockSpec((1, f, m_pad), lambda bb, tt: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, m_pad, f), jnp.float32),
-            jax.ShapeDtypeStruct((b, m_pad, f), jnp.float32),
+            jax.ShapeDtypeStruct((b, f, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, f, m_pad), jnp.float32),
         ],
         interpret=interpret,
     )(gmax, attn, values, idx3)
+    out = jnp.swapaxes(out, 1, 2)
+    sumexp = jnp.swapaxes(sumexp, 1, 2)
     return out[:, :num_segments], sumexp[:, :num_segments], gmax
 
 
@@ -185,18 +195,18 @@ def _sum_kernel(data_ref, idx_ref, sum_ref):
         sum_ref[:] = jnp.zeros_like(sum_ref)
 
     data = data_ref[0]                        # [T, F]
-    m_pad = sum_ref.shape[1]
+    m_pad = sum_ref.shape[2]
     tile = data.shape[0]
-    seg = jax.lax.broadcasted_iota(jnp.int32, (m_pad, tile), 0)
-    onehot = (seg == idx_ref[0]).astype(jnp.float32)
-    sum_ref[0] += jnp.dot(onehot, data, preferred_element_type=jnp.float32)
+    seg = jax.lax.broadcasted_iota(jnp.int32, (tile, m_pad), 1)
+    onehotT = (seg == idx_ref[0].reshape(tile, 1)).astype(jnp.float32)
+    sum_ref[0] += _contractT(data, onehotT)   # [F, M], lanes full
 
 
 def _segment_sum_fused_impl(data, idx, num_segments: int, tile: int,
                             interpret: bool):
     """data [B,N,F] f32, idx [B,N] -> sums [B,M,F]."""
     b, n, f = data.shape
-    m_pad = _round_up(num_segments, 8)
+    m_pad = _round_up(num_segments, 128)  # segment axis rides the lanes
     tile = min(tile, n)
     if n % tile != 0:
         pad = _round_up(n, tile) - n
@@ -216,12 +226,12 @@ def _segment_sum_fused_impl(data, idx, num_segments: int, tile: int,
             pl.BlockSpec((1, 1, tile), lambda bb, tt: (bb, 0, tt),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, m_pad, f), lambda bb, tt: (bb, 0, 0),
+        out_specs=pl.BlockSpec((1, f, m_pad), lambda bb, tt: (bb, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, m_pad, f), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, f, m_pad), jnp.float32),
         interpret=interpret,
     )(data, idx3)
-    return out[:, :num_segments]
+    return jnp.swapaxes(out, 1, 2)[:, :num_segments]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -334,6 +344,139 @@ def segment_sum_fused_shared(data, idx, num_segments: int, tile: int = 512,
         interpret=interpret,
     )(flags, dataT, idx4)
     return jnp.swapaxes(out, 2, 3)[:, :, :num_segments]
+
+
+# --------------------------------------------------------------------------
+# Fused exact k-NN: distance tile + iterative argmin extraction in VMEM.
+# XLA's lax.top_k lowers to a full sort of the 1280-wide distance rows
+# (measured 4.9 ms for [8, 1280, 1280] k=16); extracting k minima with
+# argmin+mask rounds over a VMEM-resident tile reads the distances once.
+# --------------------------------------------------------------------------
+
+def _knn_kernel(query_ref, xyzT_ref, sqn_ref, out_ref, *, k: int):
+    q = query_ref[0]                          # [T, 3] f32
+    xyzT = xyzT_ref[0]                        # [3, N]
+    # |q - x|^2 up to the row-constant |q|^2 (irrelevant to per-row argmin)
+    d = (sqn_ref[0]                           # [1, N] = |x|^2
+         - 2.0 * jnp.dot(q, xyzT, preferred_element_type=jnp.float32))
+    n = d.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    for kk in range(k):
+        best = jnp.argmin(d, axis=1).astype(jnp.int32)        # [T]
+        out_ref[0, :, kk] = best
+        d = jnp.where(lane == best[:, None], jnp.inf, d)
+
+
+def knn_fused(xyz, query, k: int, tile: int = 256,
+              interpret: bool = False):
+    """Exact k nearest neighbours: ``xyz [B,N,3], query [B,M,3] -> [B,M,k]``.
+
+    Ties break toward the lower index (same policy as ``lax.top_k``).
+    """
+    b, n, _ = xyz.shape
+    m = query.shape[1]
+    tile = min(tile, m)
+    m_pad = _round_up(m, tile)
+    if m_pad != m:
+        query = jnp.pad(query, ((0, 0), (0, m_pad - m), (0, 0)))
+    xyzT = jnp.swapaxes(xyz, 1, 2).astype(jnp.float32)     # [B, 3, N]
+    sqn = jnp.sum(xyz.astype(jnp.float32) ** 2, axis=-1,
+                  keepdims=True).reshape(b, 1, n)          # [B, 1, N]
+
+    out = pl.pallas_call(
+        functools.partial(_knn_kernel, k=k),
+        grid=(b, m_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, 3), lambda bb, tt: (bb, tt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n), lambda bb, tt: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n), lambda bb, tt: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, k), lambda bb, tt: (bb, tt, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, m_pad, k), jnp.int32),
+        interpret=interpret,
+    )(query.astype(jnp.float32), xyzT, sqn)
+    return out[:, :m]
+
+
+# --------------------------------------------------------------------------
+# Fused row gather: one-hot matmul (XLA's row gather runs at ~30 GB/s on
+# this TPU runtime — 2.7 ms for an [8, 40960, 64] gather that is 0.1 ms at
+# the HBM roofline; and its VJP is an XLA scatter-add, which is unusable
+# here, see use_pallas_default).
+# --------------------------------------------------------------------------
+
+def _gather_kernel(tableT_ref, idx_ref, out_ref):
+    tableT = tableT_ref[0]                    # [F, M] (resident)
+    m = tableT.shape[1]
+    t = out_ref.shape[2]
+    # one-hot with the gathered-row axis on the LANES; each output column
+    # has exactly one non-zero term, so any accumulation order is exact
+    seg = jax.lax.broadcasted_iota(jnp.int32, (m, t), 0)
+    onehot = (seg == idx_ref[0, 0].reshape(1, t)).astype(tableT.dtype)
+    prec = (jax.lax.Precision.HIGHEST
+            if tableT.dtype == jnp.float32 else jax.lax.Precision.DEFAULT)
+    res = jnp.dot(tableT, onehot, precision=prec,
+                  preferred_element_type=jnp.float32)
+    out_ref[0] = res.astype(out_ref.dtype)
+
+
+def _gather_rows_impl(table, idx, tile: int, interpret: bool):
+    b, m, f = table.shape
+    n = idx.shape[1]
+    tile = min(tile, _round_up(n, 128))
+    n_pad = _round_up(n, tile)
+    if n_pad != n:
+        idx = jnp.pad(idx, ((0, 0), (0, n_pad - n)),
+                      constant_values=np.int32(m))  # out of range -> zeros
+    idx3 = idx[:, None, :].astype(jnp.int32)
+    tableT = jnp.swapaxes(table, 1, 2)              # [B, F, M]
+
+    out = pl.pallas_call(
+        _gather_kernel,
+        grid=(b, n_pad // tile),
+        in_specs=[
+            pl.BlockSpec((1, f, m), lambda bb, tt: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda bb, tt: (bb, 0, tt),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, f, tile), lambda bb, tt: (bb, 0, tt),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, f, n_pad), table.dtype),
+        interpret=interpret,
+    )(tableT, idx3)
+    return jnp.swapaxes(out, 1, 2)[:, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gather_rows_fused(table, idx, tile: int = 512, interpret: bool = False):
+    """Batched row gather ``table [B,M,F] x idx [B,N] -> [B,N,F]``.
+
+    Exact (each output row selects exactly one table row; f32 tables use
+    HIGHEST matmul precision so operands are not bf16-truncated).
+    Out-of-range indices produce zero rows. Intended for small tables
+    (M <= ~2k): the one-hot build costs ``M*N`` VPU ops.
+    """
+    return _gather_rows_impl(table, idx, tile, interpret)
+
+
+def _gather_fwd(table, idx, tile, interpret):
+    return _gather_rows_impl(table, idx, tile, interpret), \
+        (idx, table.shape[1])
+
+
+def _gather_bwd(tile, interpret, res, g):
+    idx, m = res
+    d_table = segment_sum_fused(g.astype(jnp.float32), idx, m, tile,
+                                interpret).astype(g.dtype)
+    return d_table, np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+gather_rows_fused.defvjp(_gather_fwd, _gather_bwd)
 
 
 def segment_mean_count_fused(data, idx, num_segments: int, tile: int = 512,

@@ -33,24 +33,47 @@ def square_distance(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     return d
 
 
-def index_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def index_points(points: jnp.ndarray, idx: jnp.ndarray,
+                 use_pallas=None) -> jnp.ndarray:
     """Batched gather: ``points [B, N, C]``, ``idx [B, ...]`` -> ``[B, ..., C]``.
 
-    Equivalent of reference models/pointnet_util.py:36-47.
+    Equivalent of reference models/pointnet_util.py:36-47. On TPU, gathers
+    from small tables (M <= 2048) route through the fused one-hot gather
+    kernel: XLA's row gather executes at ~30 GB/s on this runtime (and its
+    VJP is an XLA scatter-add, which is unusable — see
+    ``ops.pallas_kernels.use_pallas_default``), while the one-hot matmul
+    runs at roofline for node/proxy-sized tables.
     """
+    from .pallas_kernels import gather_rows_fused, use_pallas_default
+
     b = points.shape[0]
+    m = points.shape[1]
     flat = idx.reshape(b, -1)
-    out = jnp.take_along_axis(points, flat[..., None], axis=1)
+    if (points.ndim == 3 and m <= 2048 and flat.shape[1] * m >= (1 << 20)
+            and use_pallas_default(use_pallas)):
+        out = gather_rows_fused(points, flat)
+    else:
+        out = jnp.take_along_axis(points, flat[..., None], axis=1)
     return out.reshape(idx.shape + (points.shape[-1],))
 
 
-def knn_indices(xyz: jnp.ndarray, query: jnp.ndarray, k: int) -> jnp.ndarray:
+def knn_indices(xyz: jnp.ndarray, query: jnp.ndarray, k: int,
+                use_pallas=None) -> jnp.ndarray:
     """k nearest neighbours of ``query`` in ``xyz``: ``[..., M, k]`` indices.
 
     top-k over negated squared distances — ties may order differently than
     the reference's full argsort (models/PointNN.py:216), which is
     numerically irrelevant for attention over the neighbourhood.
+
+    On TPU, 3-d batched inputs route through the fused exact-knn kernel
+    (``lax.top_k`` lowers to a full sort of the distance rows — measured
+    4.9 ms for [8, 1280, 1280] k=16 vs ~0.7 ms fused).
     """
+    from .pallas_kernels import knn_fused, use_pallas_default
+
+    if (xyz.ndim == 3 and xyz.shape[-1] == 3 and xyz.shape[1] <= 4096
+            and use_pallas_default(use_pallas)):
+        return knn_fused(xyz, query, k)
     d = square_distance(query, xyz)
     _, idx = jax.lax.top_k(-d, k)
     return idx

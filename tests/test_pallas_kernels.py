@@ -129,3 +129,48 @@ def test_segment_sum_fused_gradient():
         if idx[0, i] < 7:
             want[i] = 2 * out[idx[0, i]]
     np.testing.assert_allclose(np.asarray(g[0]), want, rtol=1e-4, atol=1e-4)
+
+
+def test_gather_rows_fused_matches_take_along_axis():
+    from cmr_agent_tpu.ops.pallas_kernels import gather_rows_fused
+    rng = np.random.default_rng(6)
+    table = jnp.array(rng.normal(size=(2, 130, 7)), jnp.float32)
+    idx = jnp.array(rng.integers(0, 130, size=(2, 300)), jnp.int32)
+
+    want = jnp.take_along_axis(table, idx[..., None], axis=1)
+    got = gather_rows_fused(table, idx, 128, True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # out-of-range rows are zero
+    idx_oor = idx.at[0, 0].set(130)
+    got2 = gather_rows_fused(table, idx_oor, 128, True)
+    assert float(jnp.max(jnp.abs(got2[0, 0]))) == 0.0
+
+    # VJP: d_table accumulates gradient rows per index (scatter-add oracle)
+    def loss(t):
+        return jnp.sum(gather_rows_fused(t, idx, 128, True) ** 2)
+
+    g = jax.grad(loss)(table)
+    want_g = np.zeros(table.shape, np.float32)
+    tn = np.asarray(table)
+    for bb in range(2):
+        for i in range(300):
+            want_g[bb, idx[bb, i]] += 2 * tn[bb, idx[bb, i]]
+    np.testing.assert_allclose(np.asarray(g), want_g, rtol=1e-4, atol=1e-4)
+
+
+def test_knn_fused_matches_top_k():
+    from cmr_agent_tpu.ops.pallas_kernels import knn_fused
+    from cmr_agent_tpu.ops.sampling import square_distance
+    rng = np.random.default_rng(7)
+    xyz = jnp.array(rng.normal(size=(2, 300, 3)) * 5, jnp.float32)
+    query = jnp.array(rng.normal(size=(2, 170, 3)) * 5, jnp.float32)
+
+    _, want = jax.lax.top_k(-square_distance(query, xyz), 7)
+    got = knn_fused(xyz, query, 7, tile=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    # self-knn at a non-tile-multiple M exercises the query padding
+    _, want_s = jax.lax.top_k(-square_distance(xyz, xyz), 16)
+    got_s = knn_fused(xyz, xyz, 16, tile=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))

@@ -31,7 +31,25 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--synthetic-length", type=int, default=64)
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax NaN debugging (fails fast on any NaN)")
+    # multi-host (DCN) scale-out: on TPU pods these are discovered from the
+    # environment and --distributed alone suffices; CPU/GPU jobs pass all.
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize before device use")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port (multi-host)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
+
+
+def maybe_initialize_distributed(args) -> None:
+    """Multi-host entry point (SURVEY.md §2.7): must run before any device
+    use — call first in every CLI main."""
+    if getattr(args, "distributed", False) or args.coordinator:
+        from ..parallel.distributed import initialize
+        initialize(coordinator_address=args.coordinator,
+                   num_processes=args.num_processes,
+                   process_id=args.process_id)
 
 
 def build_config(args) -> Config:

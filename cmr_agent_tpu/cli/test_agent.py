@@ -26,7 +26,8 @@ from ..train import (create_agent_state, make_val_episode_fn,
                      restore_checkpoint, registration_metrics,
                      convert_torch_agent)
 from ..train.train_geo import make_geo_forward
-from .common import add_common_args, build_config, build_dataset, set_seed
+from .common import (add_common_args, build_config, build_dataset,
+                     maybe_initialize_distributed, set_seed)
 from .train_agent import load_geo_variables
 
 
@@ -44,6 +45,7 @@ def main(argv=None):
                    help="dump per-episode timings to a .mat file "
                         "(reference Test_Agent.py:196 parity)")
     args = p.parse_args(argv)
+    maybe_initialize_distributed(args)
 
     cfg = build_config(args)
     set_seed(cfg.seed)

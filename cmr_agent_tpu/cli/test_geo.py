@@ -27,7 +27,8 @@ from ..ops.geometry import pose_diff
 from ..train import restore_checkpoint
 from ..train.convert import convert_torch_itermodel
 from ..train.train_geo import make_geo_forward
-from .common import add_common_args, build_config, build_dataset, set_seed
+from .common import (add_common_args, build_config, build_dataset,
+                     maybe_initialize_distributed, set_seed)
 from .train_agent import load_geo_variables
 
 
@@ -41,6 +42,7 @@ def main(argv=None):
                    help="cost-volume refinement iterations")
     p.add_argument("--max-batches", type=int, default=0)
     args = p.parse_args(argv)
+    maybe_initialize_distributed(args)
 
     cfg = build_config(args)
     set_seed(cfg.seed)

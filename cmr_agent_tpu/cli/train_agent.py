@@ -30,7 +30,8 @@ from ..train import (create_agent_state, make_rollout_fn,
                      save_checkpoint, restore_checkpoint, MetricLogger,
                      convert_torch_multihead)
 from ..train.train_geo import make_geo_forward
-from .common import add_common_args, build_config, build_dataset, set_seed
+from .common import (add_common_args, build_config, build_dataset,
+                     maybe_initialize_distributed, set_seed)
 
 
 def load_geo_variables(cfg, args, example_batch):
@@ -70,6 +71,7 @@ def main(argv=None):
                    help="reproduce the reference's degenerate (constant) "
                         "reward instead of the fixed pose-applied reward")
     args = p.parse_args(argv)
+    maybe_initialize_distributed(args)
 
     cfg = build_config(args)
     set_seed(cfg.seed)

@@ -19,7 +19,8 @@ import numpy as np
 from ..data import DataLoader, collate
 from ..train import (create_geo_state, make_geo_train_step,
                      make_geo_eval_step, save_checkpoint, MetricLogger)
-from .common import add_common_args, build_config, build_dataset, set_seed
+from .common import (add_common_args, build_config, build_dataset,
+                     maybe_initialize_distributed, set_seed)
 
 
 def main(argv=None):
@@ -28,6 +29,7 @@ def main(argv=None):
     p.add_argument("--resume", default="",
                    help="orbax checkpoint dir to resume params/stats from")
     args = p.parse_args(argv)
+    maybe_initialize_distributed(args)
 
     cfg = build_config(args)
     set_seed(cfg.seed)

@@ -4,14 +4,22 @@ Capability of reference models/LinearAttention.py:8-73: elu(x)+1 feature
 map, KV outer-product accumulation, per-query normaliser, concat-FFN with
 residual. This is the fine-fusion workhorse between 5120 pixels and 1280
 nodes (IMGPCEnDecoder.py:101-110) — the two einsums are plain MXU
-contractions, so XLA already runs this at near roofline; a fused Pallas
-variant hooks in via ``cmr_agent_tpu.ops.pallas_kernels``.
+contractions, so XLA already runs this at near roofline.
+
+Sequence parallelism: when the ambient mesh (``jax.sharding.set_mesh``)
+has an ``sp`` axis of size > 1, the message computation routes through
+the psum-decomposed form (``parallel.sp``): each chip reduces its own
+token shard's ``KV``/``K``-sum, psums the O(H*D*D) partials over ICI
+(constant in sequence length) and finishes its query shard locally —
+the reference's 5120x1280 fine-fusion extension point
+(IMGPCEnDecoder.py:101-110, SURVEY.md §2.7/§5).
 """
 
 from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -44,9 +52,16 @@ class LinearAttention(nn.Module):
         k = nn.elu(k) + 1.0
 
         v = v / s  # overflow guard (reference LinearAttention.py:57)
-        kv = jnp.einsum("bshd,bshv->bhdv", k, v)
-        z = 1.0 / (jnp.einsum("blhd,bhd->blh", q, k.sum(axis=1)) + self.eps)
-        msg = jnp.einsum("blhd,bhdv,blh->blhv", q, kv, z) * s
+        mesh = jax.sharding.get_abstract_mesh()
+        if not mesh.empty and "sp" in mesh.axis_names and mesh.shape["sp"] > 1:
+            from ..parallel.sp import sp_linear_attention_message
+            msg = sp_linear_attention_message(q, k, v, mesh=mesh,
+                                              eps=self.eps) * s
+        else:
+            kv = jnp.einsum("bshd,bshv->bhdv", k, v)
+            z = 1.0 / (jnp.einsum("blhd,bhd->blh", q, k.sum(axis=1))
+                       + self.eps)
+            msg = jnp.einsum("blhd,bhdv,blh->blhv", q, kv, z) * s
 
         msg = proj("merge")(msg.reshape(b, l, d))
         msg = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=self.dtype)(msg)

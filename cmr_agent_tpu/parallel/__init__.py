@@ -11,3 +11,7 @@ from .mesh import (  # noqa: F401
     make_mesh, replicate, batch_sharding, batch_token_sharding,
     make_sharded_geo_train_step, make_sharded_geo_forward,
 )
+from .distributed import (  # noqa: F401
+    initialize as initialize_distributed,
+    host_local_batch_to_global, shard_range,
+)

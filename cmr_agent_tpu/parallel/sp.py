@@ -37,10 +37,15 @@ def linear_attention_message(q, k, v, eps: float = 1e-6):
     return jnp.einsum("blhd,bhdv,blh->blhv", q, kv, z)
 
 
-def sp_linear_attention_message(q, k, v, mesh: Mesh, axis: str = "sp",
+def sp_linear_attention_message(q, k, v, mesh, axis: str = "sp",
                                 eps: float = 1e-6):
     """Sequence-parallel message: q sharded on L, k/v sharded on S, both over
     ``mesh[axis]``. Output is sharded on L like q.
+
+    ``mesh`` may be a concrete ``Mesh`` or the ambient ``AbstractMesh``
+    (``jax.sharding.get_abstract_mesh()`` inside a jit traced under
+    ``jax.sharding.set_mesh``) — the live ``LinearAttention`` module routes
+    here with the latter.
     """
 
     def local(q_l, k_l, v_l):
@@ -49,6 +54,11 @@ def sp_linear_attention_message(q, k, v, mesh: Mesh, axis: str = "sp",
         z = 1.0 / (jnp.einsum("blhd,bhd->blh", q_l, ksum) + eps)
         return jnp.einsum("blhd,bhdv,blh->blhv", q_l, kv, z)
 
-    spec = P(None, axis, None, None)
+    # keep the batch axis dp-sharded when the mesh carries one (otherwise
+    # shard_map would all-gather the batch across dp); requires the batch
+    # to divide dp, the standard dp contract
+    batch_axis = ("dp" if "dp" in mesh.axis_names and mesh.shape["dp"] > 1
+                  and q.shape[0] % mesh.shape["dp"] == 0 else None)
+    spec = P(batch_axis, axis, None, None)
     return shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
                      out_specs=spec)(q, k, v)

@@ -84,3 +84,33 @@ def test_sharded_forward_with_sp():
     np.testing.assert_allclose(np.asarray(got["pc_geo_feat"]),
                                np.asarray(want["pc_geo_feat"]),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_linear_attention_routes_sp_under_ambient_mesh():
+    """The LIVE LinearAttention module must take the psum-decomposed path
+    (and match the unsharded math) when the ambient mesh has an sp axis."""
+    from jax.sharding import set_mesh
+    from cmr_agent_tpu.models.linear_attention import LinearAttention
+
+    rng = np.random.default_rng(3)
+    x = jnp.array(rng.normal(size=(2, 64, 32)), jnp.float32)
+    y = jnp.array(rng.normal(size=(2, 40, 32)), jnp.float32)
+
+    la = LinearAttention(num_heads=4)
+    v = la.init({"params": jax.random.key(0)}, x, y, train=False)
+    want = la.apply(v, x, y, train=False)
+
+    mesh = make_mesh((2, 4), ("dp", "sp"))
+
+    @jax.jit
+    def fwd(v, x, y):
+        return la.apply(v, x, y, train=False)
+
+    with set_mesh(mesh):
+        # proof the decomposed path is active: the traced jaxpr psums
+        jaxpr = str(jax.make_jaxpr(fwd)(v, x, y))
+        assert "psum" in jaxpr
+        got = fwd(v, x, y)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

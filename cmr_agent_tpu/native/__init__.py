@@ -25,8 +25,8 @@ _tried = False
 
 
 def _build() -> Optional[str]:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _LIB]
+    cmd = ["g++", "-O3", "-march=native", "-ffast-math", "-shared", "-fPIC",
+           "-std=c++17", _SRC, "-o", _LIB]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return _LIB

@@ -126,3 +126,20 @@ def test_label_mapping():
     assert m["learning_ignore"][0] is True
     assert 8 in m["split"]["valid"]
     assert load_label_mapping("nuscenes")["learning_map"][9] == 1
+
+
+def test_process_pool_loader_matches_thread_loader():
+    from cmr_agent_tpu.data import DataLoader, SyntheticDataset
+    from cmr_agent_tpu.config import tiny_config
+
+    ds = SyntheticDataset(tiny_config(), length=6, seed=0)
+    lt = DataLoader(ds, 2, shuffle=True, num_workers=2, seed=3)
+    lp = DataLoader(ds, 2, shuffle=True, num_workers=2, seed=3,
+                    use_processes=True)
+    bt, bp = list(lt), list(lp)
+    lp.close()
+    assert len(bt) == len(bp) == 3
+    for a, b in zip(bt, bp):
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])

@@ -70,8 +70,16 @@ class NuScenesDataset:
             np.float64)
 
         pc = data[0:3, :].T                     # [N, 3]
+        # Intensity rides through the downsample with the same index
+        # selection (reference NuScenesDataset.py:100-111). Note the
+        # reference computes-then-drops it (the returned dict at :288-305
+        # has no intensity key); it is returned here as ``pc_intensity``
+        # for completeness.
+        intensity = (data[3, :] if data.shape[0] > 3
+                     else np.zeros(pc.shape[0], data.dtype))
         idx = downsample_indices(rng, pc.shape[0], cfg.num_pt)
         pc = pc[idx]
+        intensity = intensity[idx].astype(np.float32)
 
         K = camera_matrix_scaling(K, 0.25)
         if self.mode == "train":
@@ -85,7 +93,7 @@ class NuScenesDataset:
             t_amp = cfg.p_tx_amplitude
             r_amp = cfg.p_ry_amplitude
 
-        return build_geometry_sample(
+        sample = build_geometry_sample(
             rng, img, pc.astype(np.float64), K,
             num_node=cfg.num_node,
             circle_loss_num=cfg.circle_loss_num,
@@ -93,3 +101,5 @@ class NuScenesDataset:
             r_amplitude=(0.0, r_amp, 0.0),
             nlabel=cfg.nlabel,
             fps_fn=self.fps_fn, nn_fn=self.nn_fn)
+        sample["pc_intensity"] = intensity
+        return sample

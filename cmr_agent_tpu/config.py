@@ -83,6 +83,12 @@ class Config:
     num_node: int = 1280
     num_proxy: int = 256
     knn_k: int = 16
+    # Reference config/KittiConfig.py:73. The reference's True-branch is
+    # dead code (PointViT.py:51-56 returns an undefined variable); here
+    # the intent is COMPLETED: MiniGNN edge-conv embedding of the raw
+    # points over a host-built knn (datasets emit ``pc_knn``), then the
+    # standard node/proxy hierarchy.
+    use_gnn_embedding: bool = False
 
     # <----------- coarse cross-modal ---------->
     num_ca_layer_coarse: int = 6

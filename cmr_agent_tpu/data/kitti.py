@@ -156,4 +156,5 @@ class KittiDataset:
             r_amplitude=(cfg.p_rx_amplitude, cfg.p_ry_amplitude,
                          cfg.p_rz_amplitude),
             nlabel=cfg.nlabel,
-            fps_fn=self.fps_fn, nn_fn=self.nn_fn)
+            fps_fn=self.fps_fn, nn_fn=self.nn_fn,
+            knn_k=cfg.knn_k if cfg.use_gnn_embedding else 0)

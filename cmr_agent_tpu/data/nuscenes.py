@@ -100,6 +100,7 @@ class NuScenesDataset:
             t_amplitude=(t_amp, 0.0, t_amp),
             r_amplitude=(0.0, r_amp, 0.0),
             nlabel=cfg.nlabel,
-            fps_fn=self.fps_fn, nn_fn=self.nn_fn)
+            fps_fn=self.fps_fn, nn_fn=self.nn_fn,
+            knn_k=cfg.knn_k if cfg.use_gnn_embedding else 0)
         sample["pc_intensity"] = intensity
         return sample

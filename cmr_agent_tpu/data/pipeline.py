@@ -201,6 +201,7 @@ def build_geometry_sample(
     nlabel: int,
     fps_fn=None,
     nn_fn=None,
+    knn_k: int = 0,
 ) -> Dict[str, np.ndarray]:
     """Geometry half of ``__getitem__`` shared by every dataset.
 
@@ -232,7 +233,16 @@ def build_geometry_sample(
     label_r, label_tx, label_tz = cost_volume_labels(
         angles, t, float(max(r_amplitude)), float(max(t_amplitude)), nlabel)
 
+    extra = {}
+    if knn_k > 0:
+        # host knn of the perturbed cloud for the gnn-embedding variant
+        # (reference dataset/KittiDataset.py:362-367 True-branch)
+        from scipy.spatial import cKDTree
+        _, knn_idx = cKDTree(pc).query(pc, k=knn_k)
+        extra["pc_knn"] = knn_idx.astype(np.int32)
+
     return {
+        **extra,
         "img": img.astype(np.float32),
         "pc": pc,
         "K": K.astype(np.float32),

@@ -35,13 +35,14 @@ class IMGPCEncoder(nn.Module):
     cfg: Config
 
     @nn.compact
-    def __call__(self, img, pc, node, pt2node, train: bool):
+    def __call__(self, img, pc, node, pt2node, train: bool, pc_knn=None):
         cfg = self.cfg
         dt = cfg.jnp_dtype()
         img_proxy, feat_q, feat_h, feat_f = ImageTransformer(
             cfg, name="img_transformer")(img, train)
         pt_proxy, node2proxy, pt_feat, node_feat = PointTransformer(
-            cfg, name="pt_transformer")(pc, node, pt2node, train)
+            cfg, name="pt_transformer")(pc, node, pt2node, train,
+                                         pc_knn=pc_knn)
 
         for i in range(cfg.num_ca_layer_coarse):
             block = lambda name: ViTCrossBlock(
@@ -74,11 +75,12 @@ class IMGPCEnDecoder(nn.Module):
     cfg: Config
 
     @nn.compact
-    def __call__(self, img, pc, node, pt2node, train: bool):
+    def __call__(self, img, pc, node, pt2node, train: bool, pc_knn=None):
         cfg = self.cfg
         f = cfg.embed_dim
         dt = cfg.jnp_dtype()
-        enc = IMGPCEncoder(cfg, name="encoder")(img, pc, node, pt2node, train)
+        enc = IMGPCEncoder(cfg, name="encoder")(img, pc, node, pt2node,
+                                                 train, pc_knn=pc_knn)
 
         # <-- node side: pull each node's proxy feature down and fuse -->
         proxy_at_node = index_points(enc["pt_proxy"], enc["node2proxy"])

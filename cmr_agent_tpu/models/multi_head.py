@@ -34,7 +34,8 @@ class MultiHeadModel(nn.Module):
         labels = batch if with_loss else None
 
         feats = IMGPCEnDecoder(self.cfg, name="encoder_decoder")(
-            batch["img"], batch["pc"], batch["node"], batch["pt2node"], train)
+            batch["img"], batch["pc"], batch["node"], batch["pt2node"],
+            train, pc_knn=batch.get("pc_knn"))
         feats = dict(feats)
         feats["pt2node"] = batch["pt2node"]
 

@@ -130,7 +130,7 @@ class PointTransformer(nn.Module):
     cfg: Config
 
     @nn.compact
-    def __call__(self, pc, node, pt2node, train: bool):
+    def __call__(self, pc, node, pt2node, train: bool, pc_knn=None):
         cfg = self.cfg
         f = cfg.embed_dim
         dt = cfg.jnp_dtype()
@@ -138,7 +138,24 @@ class PointTransformer(nn.Module):
         node_c = node.astype(dt)
 
         raw_mlp = MiniPointNet(f, dtype=dt, name="raw_point_mlp")
-        x_feat = raw_mlp(pc_c, train)
+        if cfg.use_gnn_embedding:
+            # The reference's use_gnn_embedding branch is dead upstream
+            # (PointViT.py:51-56 ends in `pass` and returns an undefined
+            # variable); this COMPLETES its intent: EdgeConv embedding of
+            # the raw points over the dataset's host-built knn plus a
+            # pointwise positional MLP (PointViT.py:16-28), then the
+            # standard node/proxy hierarchy below.
+            assert pc_knn is not None, \
+                "use_gnn_embedding needs the dataset's pc_knn key"
+            from .gnn import MiniGNN
+            from .layers import DenseBNLeaky
+            feat = MiniGNN(out_features=f, name="mini_gnn")(
+                pc_c, pc_knn, train)
+            pos = DenseBNLeaky(128, dtype=dt, name="pos_embed_0")(pc_c, train)
+            pos = _dense(f, "pos_embed_1", dtype=dt)(pos)
+            x_feat = (feat + pos).astype(dt)
+        else:
+            x_feat = raw_mlp(pc_c, train)
         node_feat = raw_mlp(node_c, train)
 
         node_feat = GroupPointTransformer(f, dtype=dt, use_pallas=cfg.use_pallas,

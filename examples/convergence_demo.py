@@ -1,6 +1,6 @@
 """Learning-convergence demonstration on synthetic data.
 
-Trains the tiny geo model, then the agent by behaviour cloning, and shows:
+Trains the geo model, then the agent by behaviour cloning, and shows:
 
 1. geo loss decreasing,
 2. the trained agent reducing pose error vs the untrained agent,
@@ -9,6 +9,10 @@ Trains the tiny geo model, then the agent by behaviour cloning, and shows:
 Runs anywhere (CPU ok); no dataset on disk required::
 
     python examples/convergence_demo.py [--geo-steps N] [--agent-steps M]
+
+``--full`` switches from the tiny config to full KITTI scale (40960
+points, 160x512 images, bf16 activations) — the TPU convergence evidence
+recorded in docs/CONVERGENCE.md.
 """
 
 from __future__ import annotations
@@ -40,11 +44,23 @@ def main(argv=None):
     p.add_argument("--geo-steps", type=int, default=40)
     p.add_argument("--agent-steps", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--full", action="store_true",
+                   help="full KITTI scale (bf16) instead of the tiny config")
     args = p.parse_args(argv)
 
-    cfg = tiny_config(train_batch_size=args.batch_size,
-                      num_trajectory=2, ppo_batch_size=8)
-    ds = SyntheticDataset(cfg, length=16)
+    if args.full:
+        from cmr_agent_tpu.config import kitti_config
+        jax.config.update("jax_compilation_cache_dir", "/tmp/cmr_jax_cache")
+        cfg = kitti_config(compute_dtype="bfloat16",
+                           train_batch_size=args.batch_size,
+                           num_trajectory=2, ppo_batch_size=8)
+        from cmr_agent_tpu.native import get_fast_host_ops
+        fps_fn, nn_fn = get_fast_host_ops()
+        ds = SyntheticDataset(cfg, length=16, fps_fn=fps_fn, nn_fn=nn_fn)
+    else:
+        cfg = tiny_config(train_batch_size=args.batch_size,
+                          num_trajectory=2, ppo_batch_size=8)
+        ds = SyntheticDataset(cfg, length=16)
     loader = DataLoader(ds, args.batch_size, shuffle=True, num_workers=0)
 
     # ---- stage 1: geo model ----

@@ -1,0 +1,130 @@
+"""Train the IterModel cost-volume pose head against a frozen geo model.
+
+The reference ships IterModel with a CE loss and a commented-out frozen
+MultiHeadModel load (models/IterModel.py:31-35,174-192) but no training
+entry script at all — this CLI completes the capability (SURVEY.md §2.4):
+geo forward (frozen) -> cost-volume forward/backward on the reconstructed
+hypothesis-grid labels -> save-on-best checkpoints.
+
+Usage::
+
+    python -m cmr_agent_tpu.cli.train_iter --tiny --dataset synthetic \
+        --steps 10 --synthetic-length 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from ..data import DataLoader
+from ..train import save_checkpoint
+from ..train.train_geo import make_geo_forward
+from ..train.train_iter import create_iter_state, make_iter_train_step
+from .common import (add_common_args, build_config, build_dataset,
+                     maybe_initialize_distributed, set_seed)
+from .test_geo import _iter_state
+from .train_agent import load_geo_variables
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--geo-ckpt", default="",
+                   help="frozen geo checkpoint (orbax dir or torch .pth); "
+                        "random init when empty")
+    p.add_argument("--val-interval", type=int, default=0,
+                   help="steps between validations (0 = config default)")
+    args = p.parse_args(argv)
+    maybe_initialize_distributed(args)
+
+    cfg = build_config(args)
+    set_seed(cfg.seed)
+    val_interval = args.val_interval or cfg.val_interval
+
+    import jax.numpy as jnp
+
+    train_ds = build_dataset(cfg, args, "train")
+    val_ds = build_dataset(cfg, args, "val")
+    loader = DataLoader(train_ds, cfg.train_batch_size, shuffle=True,
+                        num_workers=cfg.num_workers, seed=cfg.seed)
+    val_loader = DataLoader(val_ds, cfg.val_batch_size, shuffle=False,
+                            num_workers=2)
+
+    first = next(iter(loader))
+    example = {k: jnp.asarray(v) for k, v in first.items()}
+    geo_vars = load_geo_variables(cfg, args, example)
+    geo_forward = make_geo_forward(cfg)
+
+    geo_out0 = geo_forward(geo_vars["params"], geo_vars["batch_stats"],
+                           example)
+    state0 = _iter_state(geo_out0, example)
+    iter_state = create_iter_state(cfg, state0, jax.random.key(cfg.seed),
+                                   steps_per_epoch=max(1, len(loader)))
+    step_fn = make_iter_train_step(cfg)
+
+    ckpt_root = os.path.join(cfg.ckpt_dir, f"iter_{cfg.name}")
+    best_loss = float("inf")
+    step = 0
+
+    from ..models import IterModel
+    iter_model = IterModel(cfg)
+
+    @jax.jit
+    def eval_fn(params, batch_stats, st):
+        out = iter_model.apply({"params": params,
+                                "batch_stats": batch_stats},
+                               st, train=False, with_loss=True)
+        pred = jnp.argmax(out["cost_volume_logits"], axis=-1)
+        label = jnp.argmax(out["cost_volume_label"], axis=-1)
+        acc = jnp.mean((pred == label).astype(jnp.float32))
+        return out["cost_volume_loss"], acc
+
+    def validate():
+        losses, accs = [], []
+        for vb in val_loader:
+            vb = {k: jnp.asarray(v) for k, v in vb.items()}
+            geo_out = geo_forward(geo_vars["params"],
+                                  geo_vars["batch_stats"], vb)
+            st = _iter_state(geo_out, vb)
+            vl, va = eval_fn(iter_state.params, iter_state.batch_stats, st)
+            losses.append(float(vl))
+            accs.append(float(va))
+        return float(np.mean(losses)), float(np.mean(accs))
+
+    for epoch in range(cfg.epoch):
+        loader.set_epoch(epoch)
+        for batch in loader:
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            geo_out = geo_forward(geo_vars["params"],
+                                  geo_vars["batch_stats"], batch)
+            st = _iter_state(geo_out, batch)
+            iter_state, metrics = step_fn(iter_state, st)
+
+            if step % val_interval == 0:
+                vl, va = validate()
+                improved = vl < best_loss
+                best_loss = min(best_loss, vl)
+                print(f"[val] step {step} cv_loss {vl:.4f} "
+                      f"grid_acc {va:.3f} (best {best_loss:.4f})",
+                      flush=True)
+                if improved:
+                    save_checkpoint(
+                        os.path.join(ckpt_root,
+                                     f"epoch-{epoch}-step-{step}"),
+                        {"params": iter_state.params,
+                         "batch_stats": iter_state.batch_stats})
+            step += 1
+            if args.steps and step >= args.steps:
+                print(f"step cap reached ({args.steps}); final cv_loss "
+                      f"{float(metrics['cost_volume_loss']):.4f}")
+                return iter_state
+        print(f"epoch {epoch} done", flush=True)
+    return iter_state
+
+
+if __name__ == "__main__":
+    main()

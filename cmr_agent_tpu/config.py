@@ -233,3 +233,42 @@ def tiny_config(**overrides) -> Config:
     )
     defaults.update(overrides)
     return Config(**defaults)
+
+
+def micro_config(**overrides) -> Config:
+    """The smallest config that still exercises every code path.
+
+    For wiring/round-trip tests where compile time dominates (this host's
+    XLA CPU has no persistent compile cache): one layer of everything,
+    32-d embeddings, 512 points, 3-step episodes, a 3^3 hypothesis grid.
+    Architectural ratios are NOT preserved — use ``tiny_config`` when the
+    test's math should mirror the reference geometry.
+    """
+    defaults = dict(
+        name="micro",
+        num_pt=512,
+        num_node=64,
+        num_proxy=16,
+        cropped_img_h=32,
+        cropped_img_w=64,
+        circle_loss_num=16,
+        knn_k=4,
+        embed_dim=32,
+        num_head=4,
+        la_head_num=4,
+        num_sa_layer=1,
+        num_ca_layer_coarse=1,
+        linear_attention_num=1,
+        img_fuse_res_num=1,
+        node_fuse_res_num=1,
+        pt_head_res_num=1,
+        mlp_dim=64,
+        action_num=3,
+        num_trajectory=2,
+        ppo_batch_size=4,
+        nlabel=3,
+        train_batch_size=2,
+        val_batch_size=2,
+    )
+    defaults.update(overrides)
+    return Config(**defaults)

@@ -22,3 +22,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compile cache: XLA:CPU executables are AOT-serialisable, so
+# repeat suite runs skip compilation entirely (the dominant cost on this
+# host — the suite is compile-bound, not compute-bound). The non-default
+# min_entry_size=-1 is required: CPU executables are small and the default
+# size floor silently drops them all.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("CMR_TEST_COMPILE_CACHE",
+                                 "/tmp/cmr_jax_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -8,7 +8,12 @@ import os
 import numpy as np
 
 
-def test_cli_train_eval_roundtrip(tmp_path):
+def test_cli_train_eval_roundtrip(tmp_path, monkeypatch):
+    # the CLI round-trip asserts wiring, not math: swap the --tiny
+    # config for micro (compile time dominates on this host)
+    from cmr_agent_tpu.config import micro_config
+    import cmr_agent_tpu.cli.common as cli_common
+    monkeypatch.setattr(cli_common, "tiny_config", micro_config)
     from cmr_agent_tpu.cli import train_geo, train_agent, test_agent, test_geo
 
     log = str(tmp_path / "log")

@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from cmr_agent_tpu.config import tiny_config
+from cmr_agent_tpu.config import micro_config, tiny_config
 from cmr_agent_tpu.data import SyntheticDataset, collate
 from cmr_agent_tpu.parallel import make_mesh, replicate, batch_sharding
 from cmr_agent_tpu.parallel.mesh import shard_geo_batch
@@ -13,7 +13,9 @@ from cmr_agent_tpu.parallel.sp import (linear_attention_message,
                                        sp_linear_attention_message)
 from cmr_agent_tpu.train import create_geo_state, make_geo_train_step
 
-CFG = tiny_config(train_batch_size=4)
+# micro: dp-parity compiles the train step twice; wiring not
+# geometry is under test
+CFG = micro_config(train_batch_size=4)
 
 
 def test_dp_train_step_matches_single_device():

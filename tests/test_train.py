@@ -6,7 +6,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cmr_agent_tpu.config import tiny_config
+from cmr_agent_tpu.config import micro_config
 from cmr_agent_tpu.data import SyntheticDataset, collate
 from cmr_agent_tpu.train import (
     create_geo_state, make_geo_train_step, make_geo_eval_step,
@@ -18,7 +18,9 @@ from cmr_agent_tpu.train.train_geo import make_geo_forward
 from cmr_agent_tpu.train.optim import make_lr_schedule
 from cmr_agent_tpu.env import TrajectoryBuffer
 
-CFG = tiny_config()
+# micro: these tests assert wiring + descent, not reference
+# geometry ratios; compile time dominates on this host
+CFG = micro_config()
 
 
 def _batch(n=2):

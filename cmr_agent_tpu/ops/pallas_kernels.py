@@ -144,14 +144,34 @@ def _fwd(attn, values, idx, num_segments, tile, interpret):
 
 def _bwd(num_segments, tile, interpret, res, g):
     attn, values, idx, out, sumexp, gmax = res
+    f = attn.shape[-1]
+    idx32 = idx.astype(jnp.int32)
     # w_i = exp(attn_i - gmax) / sumexp[seg(i)]  (channel-wise)
-    take = lambda table: jnp.take_along_axis(
-        table, idx[:, :, None].astype(jnp.int32), axis=1)
-    s_at = jnp.maximum(take(sumexp), 1e-30)
+    if interpret:
+        take = lambda table: jnp.take_along_axis(table, idx32[:, :, None],
+                                                 axis=1)
+        s_at = jnp.maximum(take(sumexp), 1e-30)
+        g_at = take(g)
+        o_at = take(out)
+    else:
+        # one fused gather over the three [B, M, F] residual tables: XLA's
+        # row gather runs at ~30 GB/s on this runtime (the very cost the
+        # forward kernel exists to avoid), so the backward must not
+        # reintroduce it — measured ~2.7 ms per [B,40960,64] gather vs
+        # ~0.7 ms fused, x3 tables x3 GroupPT calls per geo train step.
+        at = gather_rows_fused(jnp.concatenate([sumexp, out, g], axis=-1),
+                               idx32, tile)
+        s_at = jnp.maximum(at[..., :f], 1e-30)
+        o_at = at[..., f:2 * f]
+        g_at = at[..., 2 * f:]
     w = jnp.exp(attn - gmax) / s_at                      # [B, N, F]
-    g_at = take(g)                                       # [B, N, F]
+    # routed-out points (idx outside [0, M)) contributed nothing forward;
+    # their gradient is exactly zero (the fused gather already returns
+    # zero rows for them, but w is then garbage — mask it)
+    valid = ((idx32 >= 0) & (idx32 < num_segments))[:, :, None]
+    w = jnp.where(valid, w, 0.0)
     dvalues = w * g_at
-    dattn = w * g_at * (values - take(out))
+    dattn = w * g_at * (values - o_at)
     didx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
     return dattn, dvalues, didx
 
@@ -252,10 +272,15 @@ def _sum_fwd(data, idx, num_segments, tile, interpret):
 
 def _sum_bwd(num_segments, tile, interpret, idx, g):
     # linear op: d_data = g[seg(i)], zero for routed-out points
-    safe = jnp.clip(idx, 0, num_segments - 1).astype(jnp.int32)
-    gathered = jnp.take_along_axis(g, safe[:, :, None], axis=1)
-    valid = (idx >= 0) & (idx < num_segments)
-    d_data = jnp.where(valid[:, :, None], gathered, 0.0)
+    if interpret:
+        safe = jnp.clip(idx, 0, num_segments - 1).astype(jnp.int32)
+        gathered = jnp.take_along_axis(g, safe[:, :, None], axis=1)
+        valid = (idx >= 0) & (idx < num_segments)
+        d_data = jnp.where(valid[:, :, None], gathered, 0.0)
+    else:
+        # fused one-hot gather (avoids the ~30 GB/s XLA row gather);
+        # out-of-range ids yield zero rows — exactly the routed-out case
+        d_data = gather_rows_fused(g, idx.astype(jnp.int32), tile)
     return d_data, np.zeros(idx.shape, dtype=jax.dtypes.float0)
 
 

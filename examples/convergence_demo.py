@@ -46,20 +46,34 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--full", action="store_true",
                    help="full KITTI scale (bf16) instead of the tiny config")
+    p.add_argument("--t-amp", type=float, default=None,
+                   help="translation perturbation amplitude (m); the KITTI "
+                        "default +-10 m throws most of a random synthetic "
+                        "cloud out of the frustum, starving the 2-D "
+                        "observation — a reduced amplitude keeps the demo's "
+                        "imitation problem observable")
+    p.add_argument("--r-amp", type=float, default=None,
+                   help="yaw perturbation amplitude (rad)")
     args = p.parse_args(argv)
+
+    amp = {}
+    if args.t_amp is not None:
+        amp.update(p_tx_amplitude=args.t_amp, p_tz_amplitude=args.t_amp)
+    if args.r_amp is not None:
+        amp.update(p_ry_amplitude=args.r_amp)
 
     if args.full:
         from cmr_agent_tpu.config import kitti_config
         jax.config.update("jax_compilation_cache_dir", "/tmp/cmr_jax_cache")
         cfg = kitti_config(compute_dtype="bfloat16",
                            train_batch_size=args.batch_size,
-                           num_trajectory=2, ppo_batch_size=8)
+                           num_trajectory=2, ppo_batch_size=8, **amp)
         from cmr_agent_tpu.native import get_fast_host_ops
         fps_fn, nn_fn = get_fast_host_ops()
         ds = SyntheticDataset(cfg, length=16, fps_fn=fps_fn, nn_fn=nn_fn)
     else:
         cfg = tiny_config(train_batch_size=args.batch_size,
-                          num_trajectory=2, ppo_batch_size=8)
+                          num_trajectory=2, ppo_batch_size=8, **amp)
         ds = SyntheticDataset(cfg, length=16)
     loader = DataLoader(ds, args.batch_size, shuffle=True, num_workers=0)
 
@@ -79,6 +93,8 @@ def main(argv=None):
     print(f"[geo] loss {losses[0]:.4f} -> {losses[-1]:.4f} "
           f"({time.time()-t0:.0f}s)")
     assert losses[-1] < losses[0]
+    print(f"[geo] overlap acc: pc {float(metrics['pc_overlap_accuracy']):.3f}"
+          f" img {float(metrics['img_overlap_accuracy']):.3f}", flush=True)
 
     # ---- stage 2: agent by behaviour cloning ----
     fwd = make_geo_forward(cfg)
@@ -109,6 +125,23 @@ def main(argv=None):
     buffer = TrajectoryBuffer(cfg.gamma, cfg.gae_lambda)
     rng = np.random.default_rng(0)
 
+    def eval_agent(state):
+        rte_all, rre_all = [], []
+        for batch in batches:
+            geo_out = fwd(geo_state.params, geo_state.batch_stats, batch)
+            _, rte, rre = val(state, geo_out, batch)
+            rte_all += np.asarray(rte).tolist()
+            rre_all += np.asarray(rre).tolist()
+        return float(np.mean(rte_all)), float(np.mean(rre_all))
+
+    # Best-validation selection over the run, like the reference's
+    # save-on-improvement protocol (Train_Agent.py:170-212): on-policy BC
+    # is noisy late in training, so the returned agent is the best
+    # val snapshot, not the final step. Score weights RRE:RTE as the
+    # registration-recall thresholds do (10 deg : 5 m).
+    val_every = max(10, args.agent_steps // 8)
+    best_score, best_snap = np.inf, None
+
     t0 = time.time()
     bc_first = bc_last = None
     for i in range(args.agent_steps):
@@ -130,8 +163,23 @@ def main(argv=None):
                     bc_first = bc_last
             buffer.clear()
             print(f"[agent] step {i:3d} bc_loss {bc_last:.4f}", flush=True)
+        if (i + 1) % val_every == 0 or i == args.agent_steps - 1:
+            v_rte, v_rre = eval_agent(agent_state)
+            score = v_rre + 2.0 * v_rte
+            mark = " *" if score < best_score else ""
+            print(f"[agent] step {i:3d} val RTE {v_rte:.3f} RRE {v_rre:.3f}"
+                  f"{mark}", flush=True)
+            if score < best_score:
+                best_score = score
+                # snapshot params AND BatchNorm running stats: the eval
+                # behaviour depends on both
+                best_snap = jax.tree.map(
+                    jnp.copy, (agent_state.params, agent_state.batch_stats))
     print(f"[agent] bc_loss {bc_first:.4f} -> {bc_last:.4f} "
           f"({time.time()-t0:.0f}s)")
+    if best_snap is not None:
+        agent_state = agent_state.replace(params=best_snap[0],
+                                          batch_stats=best_snap[1])
 
     # ---- evaluation ----
     def eval_agreement(state):
@@ -147,15 +195,6 @@ def main(argv=None):
                 agree += (a == e).sum()
                 total += a.size
         return agree / total
-
-    def eval_agent(state):
-        rte_all, rre_all = [], []
-        for batch in batches:
-            geo_out = fwd(geo_state.params, geo_state.batch_stats, batch)
-            _, rte, rre = val(state, geo_out, batch)
-            rte_all += np.asarray(rte).tolist()
-            rre_all += np.asarray(rre).tolist()
-        return float(np.mean(rte_all)), float(np.mean(rre_all))
 
     def eval_expert():
         r_steps = jnp.asarray(cfg.r_steps_array())

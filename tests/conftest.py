@@ -31,5 +31,5 @@ jax.config.update("jax_enable_x64", False)
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("CMR_TEST_COMPILE_CACHE",
                                  "/tmp/cmr_jax_test_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

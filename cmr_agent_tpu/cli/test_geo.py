@@ -26,6 +26,7 @@ from ..models.multi_head import matching_inlier_ratio
 from ..ops.geometry import pose_diff
 from ..train import restore_checkpoint
 from ..train.convert import convert_torch_itermodel
+from ..train.train_iter import iter_model_state
 from ..train.train_geo import make_geo_forward
 from .common import (add_common_args, build_config, build_dataset,
                      maybe_initialize_distributed, set_seed)
@@ -58,7 +59,7 @@ def main(argv=None):
     iter_model = IterModel(cfg)
     geo_out0 = geo_forward(geo_vars["params"], geo_vars["batch_stats"],
                            example)
-    state0 = _iter_state(geo_out0, example)
+    state0 = iter_model_state(geo_out0, example)
     iter_vars = jax.jit(
         lambda r, s: iter_model.init({"params": r}, s, train=False,
                                      with_loss=False))(jax.random.key(0),
@@ -90,7 +91,7 @@ def main(argv=None):
                               batch)
         irs.append(float(ir_fn(geo_out, batch)))
 
-        state = _iter_state(geo_out, batch)
+        state = iter_model_state(geo_out, batch)
         for _ in range(args.iters):
             out = run_iter(iter_vars, state)
             state = dict(state, pc_i=out["pc_i"],
@@ -111,25 +112,6 @@ def main(argv=None):
     }
     print(json.dumps(result, indent=2))
     return result
-
-
-def _iter_state(geo_out, batch):
-    return {
-        "pc_i": geo_out["pc"],
-        "K": batch["K"],
-        "pc_geo_feat": geo_out["pc_geo_feat"],
-        "img_geo_feat": geo_out["img_geo_feat"],
-        "pc_overlap_pred": geo_out["pc_overlap_pred"],
-        "pc_overlap_pred_standby": geo_out["pc_overlap_pred_standby"],
-        "pc_is_in_cam_scores": geo_out["pc_is_in_cam_scores"],
-        "img_overlap_pred": geo_out["img_overlap_pred"],
-        "matrix_accumulated": geo_out["matrix_accumulated"],
-        "R_amplitude": batch["R_amplitude"],
-        "T_amplitude": batch["T_amplitude"],
-        "label_R": batch["label_R"],
-        "label_T_x": batch["label_T_x"],
-        "label_T_z": batch["label_T_z"],
-    }
 
 
 if __name__ == "__main__":

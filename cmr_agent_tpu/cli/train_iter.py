@@ -23,10 +23,10 @@ import numpy as np
 from ..data import DataLoader
 from ..train import save_checkpoint
 from ..train.train_geo import make_geo_forward
-from ..train.train_iter import create_iter_state, make_iter_train_step
+from ..train.train_iter import (create_iter_state, iter_model_state,
+                                make_iter_train_step)
 from .common import (add_common_args, build_config, build_dataset,
                      maybe_initialize_distributed, set_seed)
-from .test_geo import _iter_state
 from .train_agent import load_geo_variables
 
 
@@ -61,7 +61,7 @@ def main(argv=None):
 
     geo_out0 = geo_forward(geo_vars["params"], geo_vars["batch_stats"],
                            example)
-    state0 = _iter_state(geo_out0, example)
+    state0 = iter_model_state(geo_out0, example)
     iter_state = create_iter_state(cfg, state0, jax.random.key(cfg.seed),
                                    steps_per_epoch=max(1, len(loader)))
     step_fn = make_iter_train_step(cfg)
@@ -89,7 +89,7 @@ def main(argv=None):
             vb = {k: jnp.asarray(v) for k, v in vb.items()}
             geo_out = geo_forward(geo_vars["params"],
                                   geo_vars["batch_stats"], vb)
-            st = _iter_state(geo_out, vb)
+            st = iter_model_state(geo_out, vb)
             vl, va = eval_fn(iter_state.params, iter_state.batch_stats, st)
             losses.append(float(vl))
             accs.append(float(va))
@@ -101,7 +101,7 @@ def main(argv=None):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             geo_out = geo_forward(geo_vars["params"],
                                   geo_vars["batch_stats"], batch)
-            st = _iter_state(geo_out, batch)
+            st = iter_model_state(geo_out, batch)
             iter_state, metrics = step_fn(iter_state, st)
 
             if step % val_interval == 0:

@@ -1,16 +1,16 @@
 """Batching, prefetch and device placement.
 
 Replaces torch ``DataLoader(num_workers=N)`` (Train_Geo.py:48-51) with a
-thread-pool prefetcher (the sample pipeline is numpy/PIL, which release the
-GIL for the heavy parts) and adds what the reference never had: sharded
-device placement over a ``jax.sharding.Mesh`` so multi-chip data
-parallelism is a one-liner (SURVEY.md §2.7).
+thread-pool prefetcher (the sample pipeline is numpy/PIL/ctypes, which
+release the GIL for the heavy parts) and adds what the reference never
+had: sharded device placement over a ``jax.sharding.Mesh`` so multi-chip
+data parallelism is a one-liner (SURVEY.md §2.7).
 """
 
 from __future__ import annotations
 
-import queue
 import threading
+from collections import deque
 from typing import Dict, Iterator, Sequence
 
 import numpy as np
@@ -31,7 +31,13 @@ def _init_worker(dataset) -> None:
     _WORKER_DATASET = dataset
 
 
-def _worker_collate(idxs) -> Dict[str, np.ndarray]:
+def _worker_collate(args) -> Dict[str, np.ndarray]:
+    # The pool pickles the dataset ONCE at pool creation, so the epoch must
+    # ride along with every task — a parent-side set_epoch never reaches
+    # the worker's copy.
+    epoch, idxs = args
+    if hasattr(_WORKER_DATASET, "set_epoch"):
+        _WORKER_DATASET.set_epoch(int(epoch))
     return collate([_WORKER_DATASET[int(i)] for i in idxs])
 
 
@@ -50,12 +56,18 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh=None,
 class DataLoader:
     """Iterable over collated batches with background prefetch.
 
-    Worker model: the per-sample pipeline's heavy parts (numpy, the ctypes
-    native FPS/1-NN) release the GIL, so the default thread pool scales
-    across cores without pickling 40 MB sample dicts. ``use_processes=True``
-    switches to a persistent spawn-based process pool for datasets whose
-    ``__getitem__`` holds the GIL in Python code (the dataset must pickle;
-    all shipped datasets do).
+    Worker model: ``num_workers`` threads share the index stream and fill
+    a bounded reorder buffer (batches are yielded in order; at most
+    ``prefetch`` completed batches are held). The per-sample pipeline's
+    heavy parts (numpy, the ctypes native FPS/1-NN) release the GIL, so
+    threads scale across cores without pickling 40 MB sample dicts.
+    ``use_processes=True`` switches to a persistent spawn-based process
+    pool for datasets whose ``__getitem__`` holds the GIL in Python code
+    (the dataset must pickle; all shipped datasets do). The process path
+    keeps the same ordering and the same ``prefetch`` bound (windowed
+    submission — results are never buffered unboundedly), and threads the
+    current epoch through each task so ``set_epoch`` reaches the workers'
+    dataset copies.
 
     Args:
       dataset: map-style dataset (``__len__`` / ``__getitem__``).
@@ -64,6 +76,7 @@ class DataLoader:
       drop_last: drop the ragged tail batch.
       num_workers: prefetch workers (0 = synchronous).
       seed: shuffle seed.
+      prefetch: max completed batches held ahead of the consumer.
       use_processes: worker processes instead of threads.
     """
 
@@ -77,7 +90,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self.seed = seed
-        self.prefetch = prefetch
+        self.prefetch = max(1, prefetch)
         self.use_processes = use_processes
         self._epoch = 0
         self._pool = None
@@ -123,36 +136,87 @@ class DataLoader:
         for s in range(0, stop, self.batch_size):
             yield order[s:s + self.batch_size]
 
+    def _iter_processes(self) -> Iterator[Dict[str, np.ndarray]]:
+        pool = self._process_pool()
+        batches = [np.asarray(i, dtype=np.int64)
+                   for i in self._index_batches()]
+        # Windowed submission: at most `window` tasks in flight, so
+        # completed batches never pile up faster than the consumer
+        # (Pool.imap's result handler buffers without bound).
+        window = max(self.prefetch, self.num_workers)
+        pending: deque = deque()
+        submitted = 0
+        for submitted in range(min(window, len(batches))):
+            pending.append(pool.apply_async(
+                _worker_collate, ((self._epoch, batches[submitted]),)))
+        submitted = min(window, len(batches))
+        while pending:
+            out = pending.popleft().get()
+            if submitted < len(batches):
+                pending.append(pool.apply_async(
+                    _worker_collate, ((self._epoch, batches[submitted]),)))
+                submitted += 1
+            yield out
+
+    def _iter_threads(self) -> Iterator[Dict[str, np.ndarray]]:
+        batches = list(self._index_batches())
+        n = len(batches)
+        cond = threading.Condition()
+        results: Dict[int, Dict[str, np.ndarray]] = {}
+        state = {"next_in": 0, "next_out": 0, "stop": None}
+
+        def worker():
+            while True:
+                with cond:
+                    i = state["next_in"]
+                    if i >= n or state["stop"] is not None:
+                        return
+                    state["next_in"] = i + 1
+                try:
+                    out = collate([self.dataset[int(j)]
+                                   for j in batches[i]])
+                except BaseException as e:  # propagate to the consumer
+                    with cond:
+                        state["stop"] = e
+                        cond.notify_all()
+                    return
+                with cond:
+                    # bound the reorder buffer to `prefetch` ahead of the
+                    # consumer; the worker computing `next_out` never
+                    # waits, so this cannot deadlock
+                    while (i - state["next_out"] >= self.prefetch
+                           and state["stop"] is None):
+                        cond.wait()
+                    results[i] = out
+                    cond.notify_all()
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(max(1, min(self.num_workers, n)))]
+        for t in threads:
+            t.start()
+        try:
+            for i in range(n):
+                with cond:
+                    while i not in results and state["stop"] is None:
+                        cond.wait()
+                    if state["stop"] is not None:
+                        raise state["stop"]
+                    out = results.pop(i)
+                    state["next_out"] = i + 1
+                    cond.notify_all()
+                yield out
+        finally:
+            with cond:  # unblock workers if the consumer bailed early
+                if state["stop"] is None and state["next_out"] < n:
+                    state["stop"] = GeneratorExit()
+                cond.notify_all()
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.num_workers <= 0:
             for idxs in self._index_batches():
                 yield collate([self.dataset[int(i)] for i in idxs])
             return
-
         if self.use_processes:
-            pool = self._process_pool()
-            batches = [np.asarray(i, dtype=np.int64)
-                       for i in self._index_batches()]
-            for batch in pool.imap(_worker_collate, batches,
-                                   chunksize=1):
-                yield batch
-            return
-
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        batches = list(self._index_batches())
-        stop = object()
-
-        def worker():
-            try:
-                for idxs in batches:
-                    q.put(collate([self.dataset[int(i)] for i in idxs]))
-            finally:
-                q.put(stop)
-
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
+            yield from self._iter_processes()
+        else:
+            yield from self._iter_threads()

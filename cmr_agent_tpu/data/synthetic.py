@@ -60,16 +60,22 @@ class SyntheticDataset:
         self.seed = seed
         self.fps_fn = fps_fn
         self.nn_fn = nn_fn
+        self._epoch = 0
 
     def __len__(self) -> int:
         return self.length
 
     def set_epoch(self, epoch: int) -> None:
-        pass
+        self._epoch = epoch
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
-        rng = np.random.default_rng((self.seed, index))
+        # epoch folds into the stream like the real datasets (kitti.py:117);
+        # epoch 0 keeps the historical (seed, index) key so fixed-seed
+        # benchmarks/demos are unchanged
+        key = ((self.seed, index) if self._epoch == 0
+               else (self.seed, self._epoch, index))
+        rng = np.random.default_rng(key)
         img, pc, K = make_synthetic_raw(rng, cfg.cropped_img_h,
                                         cfg.cropped_img_w, cfg.num_pt)
         return build_geometry_sample(

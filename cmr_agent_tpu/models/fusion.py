@@ -83,7 +83,8 @@ class IMGPCEnDecoder(nn.Module):
                                                  train, pc_knn=pc_knn)
 
         # <-- node side: pull each node's proxy feature down and fuse -->
-        proxy_at_node = index_points(enc["pt_proxy"], enc["node2proxy"])
+        proxy_at_node = index_points(enc["pt_proxy"], enc["node2proxy"],
+                                     cfg.use_pallas)
         node_fused = jnp.concatenate([enc["node_feat"], proxy_at_node], axis=-1)
         node_fused = ResDenseBlock(f, dtype=dt, name="node_fuse_0")(
             node_fused, train)

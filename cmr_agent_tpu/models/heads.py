@@ -24,7 +24,7 @@ def _point_fuse(cfg: Config, pt_feat, fused_node_feat, pt2node, train,
     Called from inside a compact method, so the ResDenseBlocks attach to the
     calling head via flax's module context.
     """
-    node_at_pt = index_points(fused_node_feat, pt2node)
+    node_at_pt = index_points(fused_node_feat, pt2node, cfg.use_pallas)
     x = jnp.concatenate([pt_feat, node_at_pt], axis=-1)
     for i in range(cfg.pt_head_res_num):
         x = ResDenseBlock(cfg.embed_dim, dtype=dtype,
@@ -136,9 +136,11 @@ class GeometricDistanceHead(nn.Module):
             xy_int = labels["pc_xy_int_for_circle_loss"]      # [B, 2, S] (x, y)
             pix_flat = img_geo.reshape(img_geo.shape[0], -1, f)
             pix_ids = xy_int[:, 1, :] * cfg.image_w + xy_int[:, 0, :]
-            pixel_feat = index_points(pix_flat, pix_ids)       # [B, S, F]
+            pixel_feat = index_points(pix_flat, pix_ids,
+                                      cfg.use_pallas)          # [B, S, F]
 
-            point_feat = index_points(pc_geo, labels["pc_idx_for_circle_loss"])
+            point_feat = index_points(pc_geo, labels["pc_idx_for_circle_loss"],
+                                      cfg.use_pallas)
 
             xy_float = labels["pc_xy_float_for_circle_loss"]   # [B, 2, S]
             dmap = jnp.sqrt(jnp.sum(jnp.square(

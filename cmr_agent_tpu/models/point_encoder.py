@@ -58,8 +58,8 @@ class GroupPointTransformer(nn.Module):
         k = dense(f, "w_k", False)(x)                 # [B, N, F]
         v = dense(f, "w_v", False)(x)                 # [B, N, F]
 
-        q_at_pt = index_points(q, idx)                # [B, N, F]
-        centers = index_points(node, idx)             # [B, N, 3]
+        q_at_pt = index_points(q, idx, self.use_pallas)    # [B, N, F]
+        centers = index_points(node, idx, self.use_pallas)  # [B, N, 3]
 
         delta = (xyz - centers).astype(x_feat.dtype)
         pos = dense(f, "fc_delta_0")(delta)
@@ -86,21 +86,23 @@ class KnnPointTransformer(nn.Module):
     d_model: int
     k: int = 16
     dtype: Any = None
+    use_pallas: Any = None  # Config.use_pallas; None = backend default
 
     @nn.compact
     def __call__(self, xyz, feat, knn_idx=None):
         f = self.d_model
         dt = self.dtype
+        up = self.use_pallas
         dense = lambda feats, name, bias=True: _dense(feats, name, bias, dt)
         if knn_idx is None:
-            knn_idx = knn_indices(xyz, xyz, self.k)   # [B, M, k]
-        knn_xyz = index_points(xyz, knn_idx)          # [B, M, k, 3]
+            knn_idx = knn_indices(xyz, xyz, self.k, up)   # [B, M, k]
+        knn_xyz = index_points(xyz, knn_idx, up)          # [B, M, k, 3]
 
         pre = feat
         x = dense(f, "fc1")(feat)
         q = dense(f, "w_q", False)(x)
-        k = index_points(dense(f, "w_k", False)(x), knn_idx)
-        v = index_points(dense(f, "w_v", False)(x), knn_idx)
+        k = index_points(dense(f, "w_k", False)(x), knn_idx, up)
+        v = index_points(dense(f, "w_v", False)(x), knn_idx, up)
 
         delta = (xyz[:, :, None, :] - knn_xyz).astype(feat.dtype)
         pos = dense(f, "fc_delta_0")(delta)
@@ -161,14 +163,14 @@ class PointTransformer(nn.Module):
         node_feat = GroupPointTransformer(f, dtype=dt, use_pallas=cfg.use_pallas,
                                           name="group_0")(
             pc, x_feat, node, node_feat, pt2node)
-        back = index_points(node_feat, pt2node)
+        back = index_points(node_feat, pt2node, cfg.use_pallas)
         x_feat = MiniPointNet(f, dtype=dt, name="point_mlp_0")(
             jnp.concatenate([x_feat, back], axis=-1), train)
 
         node_feat = GroupPointTransformer(f, dtype=dt, use_pallas=cfg.use_pallas,
                                           name="group_1")(
             pc, x_feat, node, node_feat, pt2node)
-        back = index_points(node_feat, pt2node)
+        back = index_points(node_feat, pt2node, cfg.use_pallas)
         x_feat = MiniPointNet(f, dtype=dt, name="point_mlp_1")(
             jnp.concatenate([x_feat, back], axis=-1), train)
 
@@ -178,9 +180,10 @@ class PointTransformer(nn.Module):
 
         # the 3 knn layers share one neighbourhood (coordinates are fixed;
         # the reference recomputes the same knn per layer, PointNN.py:215-217)
-        knn_idx = knn_indices(node, node, cfg.knn_k)
+        knn_idx = knn_indices(node, node, cfg.knn_k, cfg.use_pallas)
         for i in range(3):
             node_feat = KnnPointTransformer(f, cfg.knn_k, dtype=dt,
+                                            use_pallas=cfg.use_pallas,
                                             name=f"knn_{i}")(node, node_feat,
                                                              knn_idx)
 

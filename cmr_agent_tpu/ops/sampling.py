@@ -51,7 +51,10 @@ def index_points(points: jnp.ndarray, idx: jnp.ndarray,
     flat = idx.reshape(b, -1)
     if (points.ndim == 3 and m <= 2048 and flat.shape[1] * m >= (1 << 20)
             and use_pallas_default(use_pallas)):
-        out = gather_rows_fused(points, flat)
+        # clamp like take_along_axis-under-jit does, so out-of-range
+        # callers see identical values on every backend (the raw kernel
+        # zero-fills instead)
+        out = gather_rows_fused(points, jnp.clip(flat, 0, m - 1))
     else:
         out = jnp.take_along_axis(points, flat[..., None], axis=1)
     return out.reshape(idx.shape + (points.shape[-1],))

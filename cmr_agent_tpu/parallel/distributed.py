@@ -88,13 +88,15 @@ def global_batch_size(local_batch_size: int) -> int:
     return local_batch_size * jax.process_count()
 
 
-def psum_scalar(x, mesh: Mesh, axis: str = "dp"):
-    """Cross-host scalar reduction (e.g. metric averaging) over the mesh."""
-    arr = jnp.asarray(x, jnp.float32)
+def psum_scalar(x):
+    """Cross-process scalar sum (e.g. metric reduction).
 
-    @jax.jit
-    def _sum(a):
-        return a.sum()
+    Uses the standard multihost allgather rather than a hand-built mesh
+    array: a per-process ``[1]`` shard only tiles a mesh axis when every
+    process holds exactly one device, which is false on real pods
+    (4 local chips/host).
+    """
+    from jax.experimental import multihost_utils
 
-    return _sum(jax.make_array_from_process_local_data(
-        NamedSharding(mesh, P(axis)), np.asarray(arr)[None]))
+    local = np.asarray(jnp.asarray(x, jnp.float32))
+    return float(np.sum(multihost_utils.process_allgather(local)))

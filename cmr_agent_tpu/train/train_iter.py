@@ -21,6 +21,31 @@ from ..models import IterModel
 from .optim import make_optimizer
 
 
+def iter_model_state(geo_out, batch) -> Dict:
+    """Assemble the IterModel input state from frozen geo outputs + batch.
+
+    The reference threads these through the mutable data_batch dict
+    (Test_Geo.py:78-79, models/IterModel.py:250-303); here the mapping is
+    explicit and shared by the training and eval CLIs.
+    """
+    return {
+        "pc_i": geo_out["pc"],
+        "K": batch["K"],
+        "pc_geo_feat": geo_out["pc_geo_feat"],
+        "img_geo_feat": geo_out["img_geo_feat"],
+        "pc_overlap_pred": geo_out["pc_overlap_pred"],
+        "pc_overlap_pred_standby": geo_out["pc_overlap_pred_standby"],
+        "pc_is_in_cam_scores": geo_out["pc_is_in_cam_scores"],
+        "img_overlap_pred": geo_out["img_overlap_pred"],
+        "matrix_accumulated": geo_out["matrix_accumulated"],
+        "R_amplitude": batch["R_amplitude"],
+        "T_amplitude": batch["T_amplitude"],
+        "label_R": batch["label_R"],
+        "label_T_x": batch["label_T_x"],
+        "label_T_z": batch["label_T_z"],
+    }
+
+
 class IterTrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any

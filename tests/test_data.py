@@ -143,3 +143,39 @@ def test_process_pool_loader_matches_thread_loader():
         assert a.keys() == b.keys()
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_process_pool_loader_sees_set_epoch():
+    # the pool pickles the dataset once; set_epoch must still reach the
+    # workers (it rides along with every task)
+    ds = SyntheticDataset(tiny_config(), length=4, seed=0)
+    sync = DataLoader(ds, 2, shuffle=False, num_workers=0)
+    proc = DataLoader(ds, 2, shuffle=False, num_workers=2,
+                      use_processes=True)
+    try:
+        sync.set_epoch(1)
+        proc.set_epoch(1)
+        for a, b in zip(sync, proc):
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
+        # epoch actually changes the stream (guards a no-op set_epoch);
+        # fresh dataset instance — set_epoch mutates the shared object
+        ds0 = SyntheticDataset(tiny_config(), length=4, seed=0)
+        sync0 = DataLoader(ds0, 2, shuffle=False, num_workers=0)
+        diff = False
+        for a, b in zip(sync, sync0):
+            diff = diff or any(not np.array_equal(a[k], b[k]) for k in a)
+        assert diff
+    finally:
+        proc.close()
+
+
+def test_thread_pool_loader_is_ordered_and_complete():
+    ds = SyntheticDataset(tiny_config(), length=8, seed=0)
+    ref = list(DataLoader(ds, 2, shuffle=True, num_workers=0, seed=5))
+    got = list(DataLoader(ds, 2, shuffle=True, num_workers=3, seed=5,
+                          prefetch=2))
+    assert len(ref) == len(got) == 4
+    for a, b in zip(ref, got):
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])

@@ -46,11 +46,7 @@ _WORKER = textwrap.dedent("""
 """)
 
 
-def test_two_process_cpu_smoke():
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-
+def _run_pair(port):
     procs = [
         subprocess.Popen(
             [sys.executable, "-c", _WORKER, str(port), str(pid)],
@@ -62,6 +58,23 @@ def test_two_process_cpu_smoke():
     for p in procs:
         out, err = p.communicate(timeout=240)
         outs.append((p.returncode, out, err))
+    return outs
+
+
+def test_two_process_cpu_smoke():
+    # bind-then-close port discovery is racy (another process can claim
+    # the port before the coordinator binds it) — retry on a fresh port
+    for attempt in range(3):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        outs = _run_pair(port)
+        if (attempt < 2
+                and any("address already in use" in err.lower()
+                        or "failed to bind" in err.lower()
+                        for _, _, err in outs)):
+            continue
+        break
     for rc, out, err in outs:
         assert rc == 0, f"worker failed rc={rc}\nstdout:{out}\nstderr:{err}"
         assert "OK" in out

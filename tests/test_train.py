@@ -142,13 +142,13 @@ def test_agent_bc_learns_on_fixed_rollout():
 
 def test_iter_model_train_step_descends():
     from cmr_agent_tpu.train.train_iter import (create_iter_state,
+                                                iter_model_state,
                                                 make_iter_train_step)
-    from cmr_agent_tpu.cli.test_geo import _iter_state
     batch = _batch(1)
     geo_state = create_geo_state(CFG, batch, jax.random.key(0))
     fwd = make_geo_forward(CFG)
     geo_out = fwd(geo_state.params, geo_state.batch_stats, batch)
-    state_dict = _iter_state(geo_out, batch)
+    state_dict = iter_model_state(geo_out, batch)
 
     it_state = create_iter_state(CFG, state_dict, jax.random.key(1))
     step = make_iter_train_step(CFG)

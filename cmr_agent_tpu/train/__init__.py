@@ -11,3 +11,6 @@ from .train_agent import (  # noqa: F401
 from .metrics import registration_metrics, MetricLogger  # noqa: F401
 from .checkpoint import save_checkpoint, restore_checkpoint  # noqa: F401
 from .convert import convert_torch_multihead, convert_torch_agent  # noqa: F401
+from .export import (  # noqa: F401
+    export_geo_forward, export_episode, load_exported,
+)

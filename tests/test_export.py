@@ -1,0 +1,71 @@
+"""Serving export round-trip: StableHLO artifact == live apply."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cmr_agent_tpu.config import micro_config
+from cmr_agent_tpu.data import SyntheticDataset, collate
+from cmr_agent_tpu.models import MultiHeadModel, CMRAgent
+from cmr_agent_tpu.env import init_poses, run_episode
+from cmr_agent_tpu.ops import to_disentangled
+from cmr_agent_tpu.train.export import (export_geo_forward, export_episode,
+                                        load_exported)
+
+CFG = micro_config()
+
+
+def _setup():
+    ds = SyntheticDataset(CFG, length=2)
+    batch = {k: jnp.asarray(v) for k, v in collate([ds[0], ds[1]]).items()}
+    model = MultiHeadModel(CFG)
+    gv = jax.jit(lambda r, b: model.init(r, b, train=False, with_loss=False))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch)
+    return model, gv, batch
+
+
+def test_geo_forward_export_roundtrip(tmp_path):
+    model, gv, batch = _setup()
+    path = str(tmp_path / "geo.stablehlo")
+    export_geo_forward(CFG, gv, batch, path)
+
+    art = load_exported(path)
+    got = art.call({k: np.asarray(v) for k, v in batch.items()})
+    want = model.apply(gv, batch, train=False, with_loss=False)
+    for k in ("pc_geo_feat", "img_geo_feat"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(want[k]),
+                                   atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got["pc_overlap_pred"]),
+                                  np.asarray(want["pc_overlap_pred"]))
+
+
+def test_episode_export_roundtrip(tmp_path):
+    model, gv, batch = _setup()
+    out = model.apply(gv, batch, train=False, with_loss=False)
+    state = {
+        "pc": out["pc"],
+        "K": batch["K"],
+        "P": batch["P"],
+        "pc_overlap_pred": out["pc_overlap_pred"],
+        "pc_is_in_cam_scores": out["pc_is_in_cam_scores"],
+        "pc_geo_feat": out["pc_geo_feat"],
+        "img_geo_feat": out["img_geo_feat"],
+    }
+    agent = CMRAgent(CFG)
+    h, w, f = CFG.image_h, CFG.image_w, CFG.embed_dim
+    b = batch["pc"].shape[0]
+    av = jax.jit(lambda r, o2, o3: agent.init({"params": r}, o2, o3,
+                                              train=False))(
+        jax.random.key(2), jnp.zeros((b, h, w, 2 * f)),
+        jnp.zeros((b, CFG.num_pt, 5)))
+
+    blob = export_episode(CFG, av, state)
+    art = load_exported(blob)
+    got = art.call({k: np.asarray(v) for k, v in state.items()})
+
+    pose_src, pose_tgt = init_poses(state)
+    pose_tgt = to_disentangled(pose_tgt, state["pc"])
+    want, _ = run_episode(
+        lambda avars, o2, o3: agent.apply(avars, o2, o3, train=False),
+        av, state, pose_src, pose_tgt, CFG, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

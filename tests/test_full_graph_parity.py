@@ -260,3 +260,116 @@ def test_agent_full_graph_matches_reference(ref, cfg):
                                rtol=1e-3, atol=1e-4, err_msg="policy_t")
     np.testing.assert_allclose(np.asarray(got_v), want_v.numpy(),
                                rtol=1e-3, atol=1e-4, err_msg="value")
+
+
+def test_itermodel_full_graph_matches_reference(ref, cfg):
+    """Compose the reference's own IterModel (torch_scatter shim, nlabel
+    patched 9 -> 3 for CPU tractability) against our static-shape redesign:
+    grid construction, masked multi-hypothesis warp, Conv3d-as-2D scoring
+    tower, CE loss, marginal-argmax decode and the pose/cloud update
+    (reference models/IterModel.py:250-475)."""
+    _install_reference_imports()
+    import importlib
+    itm_mod = importlib.import_module("models.IterModel")
+    _, _, rcfg = ref
+
+    from cmr_agent_tpu.config import Config as OurConfig
+    from cmr_agent_tpu.models import IterModel as OurIterModel
+    from cmr_agent_tpu.train.convert import convert_torch_itermodel
+
+    # the reference tower/warp hardcode F=64 (Conv3d(130,...), repeat 64)
+    # and the 40x128 fused map; N and nlabel shrink on both sides
+    fcfg = OurConfig(name="kitti", embed_dim=64, num_pt=1024, nlabel=3)
+    N, F, NL = fcfg.num_pt, 64, 3
+    H, W = fcfg.image_h, fcfg.image_w
+    assert (H, W) == (40, 128)
+
+    torch.manual_seed(5)
+    tmodel = itm_mod.IterModel(rcfg).eval()
+    tmodel.nlabel = NL
+    tmodel.base = torch.from_numpy(
+        np.arange(-(NL - 1) // 2, (NL - 1) // 2 + 1)).unsqueeze(0)
+    _randomise_bn_stats(tmodel, seed=6)
+
+    rng = np.random.default_rng(7)
+    # camera-space cloud with z bounded away from the hypothesis
+    # translations so no hypothesis divides by ~0 depth
+    pc = np.stack([rng.uniform(-20, 20, N), rng.uniform(-4, 4, N),
+                   rng.uniform(4.0, 40.0, N)], axis=0).astype(np.float32)
+    f_px = 1.2 * W
+    K = np.array([[f_px, 0, W / 2], [0, f_px, H / 2], [0, 0, 1]],
+                 np.float32)
+    overlap = rng.random(N) < 0.6
+    labels = {k: np.eye(NL, dtype=np.float32)[[i]]
+              for k, i in (("label_R", 2), ("label_T_x", 0),
+                           ("label_T_z", 1))}
+
+    tb = {
+        "pc_i": torch.from_numpy(pc[None].copy()),
+        "K": torch.from_numpy(K[None].copy()),
+        "img": torch.zeros(1, 3, 4 * H, 4 * W),
+        "pc_geo_feat": torch.from_numpy(
+            rng.normal(size=(1, F, N)).astype(np.float32)),
+        "img_geo_feat": torch.from_numpy(
+            rng.normal(size=(1, F, H, W)).astype(np.float32)),
+        "pc_overlap_pred": torch.from_numpy(overlap[None]),
+        "pc_overlap_pred_standby": torch.from_numpy(overlap[None]),
+        "pc_is_in_cam_scores": torch.from_numpy(
+            rng.random((1, N)).astype(np.float32)),
+        "img_overlap_pred": torch.from_numpy(
+            rng.random((1, H, W)).astype(np.float32)),
+        "matrix_accumulated": torch.eye(4).unsqueeze(0),
+        "R_amplitude": torch.full((1, 1), 0.5),
+        "T_amplitude": torch.full((1, 1), 1.5),
+        **{k: torch.from_numpy(v.copy()) for k, v in labels.items()},
+    }
+    with torch.no_grad():
+        tmodel(tb)  # mutates: writes logits/loss, updates matrix + pc_i
+
+    # ---- ours ----
+    state = {
+        "pc_i": jnp.asarray(pc.T[None]),
+        "K": jnp.asarray(K[None]),
+        "pc_geo_feat": jnp.asarray(
+            np.moveaxis(tb["pc_geo_feat"].numpy(), 1, -1)),
+        "img_geo_feat": jnp.asarray(
+            np.moveaxis(tb["img_geo_feat"].numpy(), 1, -1)),
+        "pc_overlap_pred": jnp.asarray(overlap[None]),
+        "pc_overlap_pred_standby": jnp.asarray(overlap[None]),
+        "pc_is_in_cam_scores": jnp.asarray(
+            tb["pc_is_in_cam_scores"].numpy()),
+        "img_overlap_pred": jnp.asarray(tb["img_overlap_pred"].numpy()),
+        "matrix_accumulated": jnp.asarray(np.eye(4, dtype=np.float32)[None]),
+        "R_amplitude": jnp.asarray([0.5], jnp.float32),
+        "T_amplitude": jnp.asarray([1.5], jnp.float32),
+        **{k: jnp.asarray(v) for k, v in labels.items()},
+    }
+    fmodel = OurIterModel(fcfg, pose_chunk=NL**3)
+    template = jax.eval_shape(
+        lambda: fmodel.init({"params": jax.random.key(0)}, state,
+                            train=False))
+    template = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), template)
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    variables = convert_torch_itermodel(fcfg, sd, template)
+    out = fmodel.apply(variables, state, train=False)
+
+    np.testing.assert_allclose(
+        np.asarray(out["cost_volume_logits"]),
+        tb["cost_colume_logits"].numpy(), rtol=1e-3, atol=2e-3,
+        err_msg="cost_volume_logits")
+    np.testing.assert_allclose(
+        float(out["cost_volume_loss"]), float(tb["cost_volume_loss"]),
+        rtol=2e-3, err_msg="cost_volume_loss")
+    np.testing.assert_allclose(
+        np.asarray(out["cost_volume_label"]),
+        tb["cost_volume_label"].numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out["matrix_i"]), tb["matrix_i"].numpy(),
+        rtol=1e-4, atol=1e-5, err_msg="matrix_i")
+    np.testing.assert_allclose(
+        np.asarray(out["matrix_accumulated"]),
+        tb["matrix_accumulated"].numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out["pc_i"]),
+        np.moveaxis(tb["pc_i"].numpy(), 1, -1), rtol=1e-4, atol=1e-4,
+        err_msg="updated pc_i")

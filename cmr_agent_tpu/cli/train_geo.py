@@ -28,6 +28,11 @@ def main(argv=None):
     add_common_args(p)
     p.add_argument("--resume", default="",
                    help="orbax checkpoint dir to resume params/stats from")
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="optimiser steps fused into one device program "
+                        "(lax.scan); amortises the per-dispatch host "
+                        "round-trip (~37 ms on the remote v5e runtime). "
+                        "The step cap/val interval round up to a multiple.")
     args = p.parse_args(argv)
     maybe_initialize_distributed(args)
 
@@ -54,7 +59,12 @@ def main(argv=None):
                               batch_stats=restored["batch_stats"],
                               step=restored["step"])
         print(f"resumed from {args.resume} at step {int(state.step)}")
-    train_step = make_geo_train_step(cfg)
+    dispatch = max(1, args.steps_per_dispatch)
+    if dispatch > 1:
+        from ..train import make_geo_multi_step
+        train_step_multi = make_geo_multi_step(cfg, dispatch)
+    else:
+        train_step = make_geo_train_step(cfg)
     eval_step = make_geo_eval_step(cfg)
 
     run_name = f"{args.dataset}_{cfg.num_pt}_{time.strftime('%m-%d-%H-%M')}"
@@ -62,11 +72,26 @@ def main(argv=None):
     ckpt_dir = os.path.abspath(os.path.join(cfg.ckpt_dir, run_name))
     os.makedirs(ckpt_dir, exist_ok=True)
 
+    # Metrics are logged from a lag buffer: float() on a just-computed
+    # step drains the device pipeline (the remote runtime synchronises on
+    # any host read, DESIGN.md), so readbacks happen a flush interval
+    # late, when the values are already resident.
+    pending = []
+
+    def flush_metrics():
+        for gs, md in pending:
+            logger.log_dict({k: float(v) for k, v in md.items()},
+                            gs, prefix="train/")
+        pending.clear()
+
+    microbatches = []
     global_step, best_loss = 0, float("inf")
     for epoch in range(cfg.epoch):
         train_loader.set_epoch(epoch)
         for batch in train_loader:
-            if global_step % cfg.val_interval == 0 and len(val_loader):
+            if (global_step % cfg.val_interval < dispatch
+                    and not microbatches and len(val_loader)):
+                flush_metrics()
                 val_metrics = []
                 for v_batch in val_loader:
                     v_batch = {k: jnp.asarray(v) for k, v in v_batch.items()}
@@ -89,17 +114,35 @@ def main(argv=None):
                       f"(best {best_loss:.4f})")
 
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            state, metrics = train_step(state, batch,
-                                        jax.random.key(global_step))
-            logger.log_dict({k: float(v) for k, v in metrics.items()},
-                            global_step, prefix="train/")
-            global_step += 1
+            if dispatch > 1:
+                microbatches.append(batch)
+                if len(microbatches) < dispatch:
+                    continue
+                stacked = {k: jnp.stack([mb[k] for mb in microbatches])
+                           for k in batch}
+                microbatches.clear()
+                state, metrics = train_step_multi(
+                    state, stacked, jax.random.key(global_step))
+                for i in range(dispatch):
+                    pending.append((global_step + i,
+                                    {k: v[i] for k, v in metrics.items()}))
+                metrics = {k: v[-1] for k, v in metrics.items()}
+                global_step += dispatch
+            else:
+                state, metrics = train_step(state, batch,
+                                            jax.random.key(global_step))
+                pending.append((global_step, metrics))
+                global_step += 1
+            if len(pending) >= 32:
+                flush_metrics()
             if args.steps and global_step >= args.steps:
+                flush_metrics()
                 print(f"step cap reached ({args.steps}); final loss "
                       f"{float(metrics['loss']):.4f}")
                 logger.close()
                 return state
         print(f"epoch {epoch} done")
+    flush_metrics()
     logger.close()
     return state
 

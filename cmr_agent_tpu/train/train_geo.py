@@ -80,6 +80,42 @@ def make_geo_train_step(cfg: Config):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_geo_multi_step(cfg: Config, steps_per_call: int):
+    """Returns jitted ``(state, stacked_batch, rng) -> (state, metrics)``
+    running ``steps_per_call`` optimiser steps in ONE dispatched program.
+
+    On remote-dispatch runtimes each program launch costs a fixed host
+    round-trip (measured ~37 ms of the 134 ms/step sustained wall on the
+    v5e tunnel, DESIGN.md); scanning S steps per dispatch amortises it to
+    ~1/S. ``stacked_batch`` holds arrays with a leading ``[S, B, ...]``
+    step axis; metrics come back stacked ``[S]`` per key.
+    """
+
+    def multi_step(state: GeoTrainState, stacked: Dict, rng: jax.Array):
+        def body(st, xs):
+            batch, key = xs
+            def loss_fn(params):
+                out, mutated = st.apply_fn(
+                    {"params": params, "batch_stats": st.batch_stats},
+                    batch, train=True, with_loss=True,
+                    rngs={"dropout": key}, mutable=["batch_stats"])
+                return out["loss"], (out, mutated["batch_stats"])
+
+            (loss, (out, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(st.params)
+            updates, new_opt = st.tx.update(grads, st.opt_state, st.params)
+            new_params = optax.apply_updates(st.params, updates)
+            metrics = {k: out[k] for k in METRIC_KEYS}
+            return st.replace(step=st.step + 1, params=new_params,
+                              batch_stats=new_stats, opt_state=new_opt), \
+                metrics
+
+        keys = jax.random.split(rng, steps_per_call)
+        return jax.lax.scan(body, state, (stacked, keys))
+
+    return jax.jit(multi_step, donate_argnums=(0,))
+
+
 def make_geo_eval_step(cfg: Config):
     """Returns jitted ``(state, batch) -> metrics`` (eval mode, running BN)."""
 

@@ -158,3 +158,41 @@ def test_iter_model_train_step_descends():
         losses.append(float(metrics["cost_volume_loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_multi_step_matches_sequential_single_steps():
+    from cmr_agent_tpu.train import make_geo_multi_step
+    batches = [_batch(2), _batch(2)]
+    rng = jax.random.key(9)
+    keys = jax.random.split(rng, 2)
+
+    s1 = create_geo_state(CFG, batches[0], jax.random.key(0))
+    step = make_geo_train_step(CFG)
+    single_losses = []
+    for b, k in zip(batches, keys):
+        s1, m1 = step(s1, b, k)
+        single_losses.append(float(m1["loss"]))
+
+    s2 = create_geo_state(CFG, batches[0], jax.random.key(0))
+    multi = make_geo_multi_step(CFG, 2)
+    stacked = {k: jnp.stack([batches[0][k], batches[1][k]])
+               for k in batches[0]}
+    s2, m2 = multi(s2, stacked, rng)
+
+    assert int(s2.step) == int(s1.step) == 2
+    np.testing.assert_allclose(np.asarray(m2["loss"]),
+                               np.asarray(single_losses), rtol=1e-5)
+    # Param tolerance note: conv biases feeding BatchNorm have exactly
+    # zero effect on the loss (BN subtracts the mean), so their gradient
+    # is pure float noise and Adam normalises it to +-lr with a sign that
+    # differs between the scanned and unrolled compilations. The states
+    # are behaviourally identical (BN running stats absorb the bias), so
+    # assert tight EVAL equivalence and only a loose param bound.
+    for x, y in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-3)
+    # (running stats absorb the bias only at momentum rate, so early-
+    # training eval agreement is ~1e-3, tightening as stats warm up)
+    ev = make_geo_eval_step(CFG)
+    e1, e2 = ev(s1, batches[0]), ev(s2, batches[0])
+    np.testing.assert_allclose(float(e2["loss"]), float(e1["loss"]),
+                               rtol=1e-3)

@@ -118,15 +118,6 @@ def main(argv=None):
     global_step = 0
     rng = np.random.default_rng(cfg.seed)
 
-    # Lag-buffered scalar logging: a float() on a just-computed value
-    # drains the device pipeline (DESIGN.md), so readbacks happen a flush
-    # interval late when the values are already resident.
-    pending = []
-
-    def flush_metrics():
-        for tag, value, gs in pending:
-            logger.log(tag, float(value), gs)
-        pending.clear()
 
     for epoch in range(cfg.epoch):
         train_loader.set_epoch(epoch)
@@ -135,7 +126,7 @@ def main(argv=None):
 
             # validation (Train_Agent.py:170-212)
             if global_step % cfg.val_interval == 0 and len(val_loader):
-                flush_metrics()
+                logger.flush()
                 err_t, err_r = [], []
                 for v_batch in val_loader:
                     v_batch = {k: jnp.asarray(v) for k, v in v_batch.items()}
@@ -163,8 +154,8 @@ def main(argv=None):
             traj, _, _ = rollout(agent_state, geo_out, batch,
                                  jax.random.key(global_step))
             buffer.add(traj)  # stays on device (no host round-trip)
-            pending.append(("train_loss/reward", jnp.mean(traj["reward"]),
-                            global_step))
+            logger.log_dict_lazy({"train_loss/reward":
+                                  jnp.mean(traj["reward"])}, global_step)
 
             if len(buffer) == cfg.num_trajectory:
                 samples = buffer.samples()
@@ -180,22 +171,19 @@ def main(argv=None):
                     agent_state, metrics = update(agent_state, mb)
                     bc_losses.append(metrics["bc_loss"])
                     ppo_losses.append(metrics["ppo_loss"])
-                pending.append(("train_loss/BC_Loss",
-                                jnp.mean(jnp.stack(bc_losses)), global_step))
-                pending.append(("train_loss/PPO_Loss",
-                                jnp.mean(jnp.stack(ppo_losses)), global_step))
+                if bc_losses:  # buffer can be smaller than one minibatch
+                    logger.log_dict_lazy(
+                        {"train_loss/BC_Loss": jnp.mean(jnp.stack(bc_losses)),
+                         "train_loss/PPO_Loss":
+                             jnp.mean(jnp.stack(ppo_losses))}, global_step)
                 buffer.clear()
 
-            if len(pending) >= 32:
-                flush_metrics()
             global_step += 1
             if args.steps and global_step >= args.steps:
                 print(f"step cap reached ({args.steps})")
-                flush_metrics()
                 logger.close()
                 return agent_state
         print(f"epoch {epoch} done")
-    flush_metrics()
     logger.close()
     return agent_state
 

@@ -30,9 +30,10 @@ def main(argv=None):
                    help="orbax checkpoint dir to resume params/stats from")
     p.add_argument("--steps-per-dispatch", type=int, default=1,
                    help="optimiser steps fused into one device program "
-                        "(lax.scan); amortises the per-dispatch host "
-                        "round-trip (~37 ms on the remote v5e runtime). "
-                        "The step cap/val interval round up to a multiple.")
+                        "(lax.scan), for dispatch-bound runtimes. The step "
+                        "cap/val interval round up to a multiple; at most "
+                        "S-1 tail batches per epoch are dropped (drop_last "
+                        "semantics).")
     args = p.parse_args(argv)
     maybe_initialize_distributed(args)
 
@@ -72,18 +73,6 @@ def main(argv=None):
     ckpt_dir = os.path.abspath(os.path.join(cfg.ckpt_dir, run_name))
     os.makedirs(ckpt_dir, exist_ok=True)
 
-    # Metrics are logged from a lag buffer: float() on a just-computed
-    # step drains the device pipeline (the remote runtime synchronises on
-    # any host read, DESIGN.md), so readbacks happen a flush interval
-    # late, when the values are already resident.
-    pending = []
-
-    def flush_metrics():
-        for gs, md in pending:
-            logger.log_dict({k: float(v) for k, v in md.items()},
-                            gs, prefix="train/")
-        pending.clear()
-
     microbatches = []
     global_step, best_loss = 0, float("inf")
     for epoch in range(cfg.epoch):
@@ -91,7 +80,7 @@ def main(argv=None):
         for batch in train_loader:
             if (global_step % cfg.val_interval < dispatch
                     and not microbatches and len(val_loader)):
-                flush_metrics()
+                logger.flush()
                 val_metrics = []
                 for v_batch in val_loader:
                     v_batch = {k: jnp.asarray(v) for k, v in v_batch.items()}
@@ -123,26 +112,26 @@ def main(argv=None):
                 microbatches.clear()
                 state, metrics = train_step_multi(
                     state, stacked, jax.random.key(global_step))
-                for i in range(dispatch):
-                    pending.append((global_step + i,
-                                    {k: v[i] for k, v in metrics.items()}))
+                logger.log_dict_lazy(metrics, global_step, prefix="train/",
+                                     steps_axis=True)
                 metrics = {k: v[-1] for k, v in metrics.items()}
                 global_step += dispatch
             else:
                 state, metrics = train_step(state, batch,
                                             jax.random.key(global_step))
-                pending.append((global_step, metrics))
+                logger.log_dict_lazy(metrics, global_step, prefix="train/")
                 global_step += 1
-            if len(pending) >= 32:
-                flush_metrics()
             if args.steps and global_step >= args.steps:
-                flush_metrics()
+                logger.flush()
                 print(f"step cap reached ({args.steps}); final loss "
                       f"{float(metrics['loss']):.4f}")
                 logger.close()
                 return state
+        # a partial accumulation never spans epochs: the tail (at most
+        # dispatch-1 batches, analogous to the loader's drop_last) is
+        # dropped so one fused scan never mixes epoch streams
+        microbatches.clear()
         print(f"epoch {epoch} done")
-    flush_metrics()
     logger.close()
     return state
 

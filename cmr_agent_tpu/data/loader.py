@@ -64,10 +64,11 @@ class DataLoader:
     ``use_processes=True`` switches to a persistent spawn-based process
     pool for datasets whose ``__getitem__`` holds the GIL in Python code
     (the dataset must pickle; all shipped datasets do). The process path
-    keeps the same ordering and the same ``prefetch`` bound (windowed
-    submission — results are never buffered unboundedly), and threads the
-    current epoch through each task so ``set_epoch`` reaches the workers'
-    dataset copies.
+    keeps the same ordering and bounds in-flight work to
+    ``max(prefetch, num_workers)`` tasks (windowed submission — completed
+    results are never buffered unboundedly), and threads the current
+    epoch through each task so ``set_epoch`` reaches the workers' dataset
+    copies.
 
     Args:
       dataset: map-style dataset (``__len__`` / ``__getitem__``).

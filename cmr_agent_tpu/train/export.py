@@ -31,8 +31,10 @@ from ..config import Config
 
 
 def _geo_state_keys():
-    # what the deterministic (no-reward, no-expert-relabel) episode reads
-    return ("pc", "K", "P", "pc_overlap_pred", "pc_is_in_cam_scores",
+    # what the deterministic (no-reward, no-expert-relabel) episode reads;
+    # notably NOT the ground-truth pose "P" — a serving client registering
+    # a new scan has none
+    return ("pc", "K", "pc_overlap_pred", "pc_is_in_cam_scores",
             "pc_geo_feat", "img_geo_feat")
 
 
@@ -67,22 +69,22 @@ def export_geo_forward(cfg: Config, variables: Dict, example_batch: Dict,
 def export_episode(cfg: Config, agent_variables: Dict,
                    example_state: Dict, path: str | None = None) -> bytes:
     """Serialise the deterministic K-step episode (state -> final pose)."""
-    from ..env import init_poses, run_episode
+    from ..env import run_episode
     from ..models import CMRAgent
-    from ..ops import to_disentangled
 
     agent = CMRAgent(cfg)
 
     def fn(state):
-        pose_src, pose_tgt = init_poses(state)
-        pose_tgt = to_disentangled(pose_tgt, state["pc"])
+        b = state["pc"].shape[0]
+        pose_src = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                    (b, 4, 4))
 
         def apply_fn(avars, o2, o3):
             return agent.apply(avars, o2, o3, train=False)
 
         topk = cfg.raster_topk if 0 < cfg.raster_topk < cfg.num_pt else None
         final, _ = run_episode(apply_fn, agent_variables, state, pose_src,
-                               pose_tgt, cfg, deterministic=True,
+                               None, cfg, deterministic=True,
                                raster_topk=topk)
         return final
 
@@ -98,7 +100,8 @@ def export_episode(cfg: Config, agent_variables: Dict,
 def load_exported(blob_or_path):
     """Deserialise an artifact; returns an object whose ``.call(*args)``
     runs it on the current backend."""
-    if isinstance(blob_or_path, (str,)):
+    import os
+    if isinstance(blob_or_path, (str, os.PathLike)):
         with open(blob_or_path, "rb") as f:
             blob = f.read()
     else:

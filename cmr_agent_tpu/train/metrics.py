@@ -36,6 +36,7 @@ class MetricLogger:
 
     def __init__(self, logdir: Optional[str] = None):
         self.history: Dict[str, List] = {}
+        self._pending: List = []
         self._writer = None
         if logdir:
             try:
@@ -53,6 +54,36 @@ class MetricLogger:
         for k, v in metrics.items():
             self.log(prefix + k, v, step)
 
+    # ---- lag-buffered logging -------------------------------------------
+    # On remote-dispatch runtimes any host read (float()) drains the device
+    # pipeline (docs/DESIGN.md), so training loops enqueue device scalars
+    # here and the readback happens a flush interval late, when the values
+    # are already resident. `steps_axis=True` logs a dict of stacked [S]
+    # arrays (from make_geo_multi_step) as S consecutive steps with ONE
+    # readback per key.
+
+    FLUSH_EVERY = 32
+
+    def log_dict_lazy(self, metrics: Dict, step: int, prefix: str = "",
+                      steps_axis: bool = False) -> None:
+        self._pending.append((metrics, step, prefix, steps_axis))
+        if len(self._pending) >= self.FLUSH_EVERY:
+            self.flush()
+
+    def flush(self) -> None:
+        for metrics, step, prefix, steps_axis in self._pending:
+            vals = {k: np.asarray(v) for k, v in metrics.items()}
+            if steps_axis:
+                s = next(iter(vals.values())).shape[0]
+                for i in range(s):
+                    self.log_dict({k: float(v[i]) for k, v in vals.items()},
+                                  step + i, prefix)
+            else:
+                self.log_dict({k: float(v) for k, v in vals.items()},
+                              step, prefix)
+        self._pending.clear()
+
     def close(self) -> None:
+        self.flush()
         if self._writer is not None:
             self._writer.close()

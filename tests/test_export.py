@@ -7,8 +7,7 @@ import jax.numpy as jnp
 from cmr_agent_tpu.config import micro_config
 from cmr_agent_tpu.data import SyntheticDataset, collate
 from cmr_agent_tpu.models import MultiHeadModel, CMRAgent
-from cmr_agent_tpu.env import init_poses, run_episode
-from cmr_agent_tpu.ops import to_disentangled
+from cmr_agent_tpu.env import run_episode
 from cmr_agent_tpu.train.export import (export_geo_forward, export_episode,
                                         load_exported)
 
@@ -42,10 +41,11 @@ def test_geo_forward_export_roundtrip(tmp_path):
 def test_episode_export_roundtrip(tmp_path):
     model, gv, batch = _setup()
     out = model.apply(gv, batch, train=False, with_loss=False)
+    # no ground-truth "P": serving has none (the deterministic episode
+    # needs only the geo outputs + camera)
     state = {
         "pc": out["pc"],
         "K": batch["K"],
-        "P": batch["P"],
         "pc_overlap_pred": out["pc_overlap_pred"],
         "pc_is_in_cam_scores": out["pc_is_in_cam_scores"],
         "pc_geo_feat": out["pc_geo_feat"],
@@ -63,9 +63,9 @@ def test_episode_export_roundtrip(tmp_path):
     art = load_exported(blob)
     got = art.call({k: np.asarray(v) for k, v in state.items()})
 
-    pose_src, pose_tgt = init_poses(state)
-    pose_tgt = to_disentangled(pose_tgt, state["pc"])
+    pose_src = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                (b, 4, 4))
     want, _ = run_episode(
         lambda avars, o2, o3: agent.apply(avars, o2, o3, train=False),
-        av, state, pose_src, pose_tgt, CFG, deterministic=True)
+        av, state, pose_src, None, CFG, deterministic=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -31,6 +31,11 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--synthetic-length", type=int, default=64)
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax NaN debugging (fails fast on any NaN)")
+    p.add_argument("--profile", default="",
+                   help="capture a jax.profiler trace of the run into this "
+                        "directory (view with tensorboard or parse the "
+                        ".xplane.pb; combine with --steps for a bounded "
+                        "capture)")
     # multi-host (DCN) scale-out: on TPU pods these are discovered from the
     # environment and --distributed alone suffices; CPU/GPU jobs pass all.
     p.add_argument("--distributed", action="store_true",

@@ -113,79 +113,84 @@ def main(argv=None):
     ckpt_dir = os.path.abspath(os.path.join(cfg.ckpt_dir, run_name))
     os.makedirs(ckpt_dir, exist_ok=True)
 
-    buffer = TrajectoryBuffer(cfg.gamma, cfg.gae_lambda)
-    best_r, best_t = np.inf, np.inf
-    global_step = 0
-    rng = np.random.default_rng(cfg.seed)
+    def run():
+        nonlocal agent_state
+        buffer = TrajectoryBuffer(cfg.gamma, cfg.gae_lambda)
+        best_r, best_t = np.inf, np.inf
+        global_step = 0
+        rng = np.random.default_rng(cfg.seed)
 
+        for epoch in range(cfg.epoch):
+            train_loader.set_epoch(epoch)
+            for batch in train_loader:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
-    for epoch in range(cfg.epoch):
-        train_loader.set_epoch(epoch)
-        for batch in train_loader:
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                # validation (Train_Agent.py:170-212)
+                if global_step % cfg.val_interval == 0 and len(val_loader):
+                    logger.flush()
+                    err_t, err_r = [], []
+                    for v_batch in val_loader:
+                        v_batch = {k: jnp.asarray(v) for k, v in v_batch.items()}
+                        v_out = geo_forward(geo_vars["params"],
+                                            geo_vars["batch_stats"], v_batch)
+                        _, rte, rre = val_episode(agent_state, v_out, v_batch)
+                        err_t += np.asarray(rte).tolist()
+                        err_r += np.asarray(rre).tolist()
+                    new_r, new_t = float(np.mean(err_r)), float(np.mean(err_t))
+                    logger.log("val_error/error_r", new_r, global_step)
+                    logger.log("val_error/error_t", new_t, global_step)
+                    if new_r < best_r or new_t < best_t:
+                        best_r, best_t = min(new_r, best_r), min(new_t, best_t)
+                        save_checkpoint(
+                            os.path.join(ckpt_dir,
+                                         f"epoch-{epoch}-step-{global_step}"),
+                            {"params": agent_state.params,
+                             "batch_stats": agent_state.batch_stats,
+                             "step": agent_state.step})
+                    print(f"[val] step {global_step} RRE {new_r:.3f} "
+                          f"RTE {new_t:.3f} (best {best_r:.3f}/{best_t:.3f})")
 
-            # validation (Train_Agent.py:170-212)
-            if global_step % cfg.val_interval == 0 and len(val_loader):
-                logger.flush()
-                err_t, err_r = [], []
-                for v_batch in val_loader:
-                    v_batch = {k: jnp.asarray(v) for k, v in v_batch.items()}
-                    v_out = geo_forward(geo_vars["params"],
-                                        geo_vars["batch_stats"], v_batch)
-                    _, rte, rre = val_episode(agent_state, v_out, v_batch)
-                    err_t += np.asarray(rte).tolist()
-                    err_r += np.asarray(rre).tolist()
-                new_r, new_t = float(np.mean(err_r)), float(np.mean(err_t))
-                logger.log("val_error/error_r", new_r, global_step)
-                logger.log("val_error/error_t", new_t, global_step)
-                if new_r < best_r or new_t < best_t:
-                    best_r, best_t = min(new_r, best_r), min(new_t, best_t)
-                    save_checkpoint(
-                        os.path.join(ckpt_dir,
-                                     f"epoch-{epoch}-step-{global_step}"),
-                        {"params": agent_state.params,
-                         "batch_stats": agent_state.batch_stats,
-                         "step": agent_state.step})
-                print(f"[val] step {global_step} RRE {new_r:.3f} "
-                      f"RTE {new_t:.3f} (best {best_r:.3f}/{best_t:.3f})")
+                geo_out = geo_forward(geo_vars["params"], geo_vars["batch_stats"],
+                                      batch)
+                traj, _, _ = rollout(agent_state, geo_out, batch,
+                                     jax.random.key(global_step))
+                buffer.add(traj)  # stays on device (no host round-trip)
+                logger.log_dict_lazy({"train_loss/reward":
+                                      jnp.mean(traj["reward"])}, global_step)
 
-            geo_out = geo_forward(geo_vars["params"], geo_vars["batch_stats"],
-                                  batch)
-            traj, _, _ = rollout(agent_state, geo_out, batch,
-                                 jax.random.key(global_step))
-            buffer.add(traj)  # stays on device (no host round-trip)
-            logger.log_dict_lazy({"train_loss/reward":
-                                  jnp.mean(traj["reward"])}, global_step)
+                if len(buffer) == cfg.num_trajectory:
+                    samples = buffer.samples()
+                    n = samples["state_2d"].shape[0]
+                    order = rng.permutation(n)
+                    bc_losses, ppo_losses = [], []
+                    # full minibatches only: a ragged tail would retrace the jit
+                    for s in range(0, n - cfg.ppo_batch_size + 1,
+                                   cfg.ppo_batch_size):
+                        rows = jnp.asarray(order[s:s + cfg.ppo_batch_size])
+                        mb = {k: jnp.take(v, rows, axis=0)
+                              for k, v in samples.items()}
+                        agent_state, metrics = update(agent_state, mb)
+                        bc_losses.append(metrics["bc_loss"])
+                        ppo_losses.append(metrics["ppo_loss"])
+                    if bc_losses:  # buffer can be smaller than one minibatch
+                        logger.log_dict_lazy(
+                            {"train_loss/BC_Loss": jnp.mean(jnp.stack(bc_losses)),
+                             "train_loss/PPO_Loss":
+                                 jnp.mean(jnp.stack(ppo_losses))}, global_step)
+                    buffer.clear()
 
-            if len(buffer) == cfg.num_trajectory:
-                samples = buffer.samples()
-                n = samples["state_2d"].shape[0]
-                order = rng.permutation(n)
-                bc_losses, ppo_losses = [], []
-                # full minibatches only: a ragged tail would retrace the jit
-                for s in range(0, n - cfg.ppo_batch_size + 1,
-                               cfg.ppo_batch_size):
-                    rows = jnp.asarray(order[s:s + cfg.ppo_batch_size])
-                    mb = {k: jnp.take(v, rows, axis=0)
-                          for k, v in samples.items()}
-                    agent_state, metrics = update(agent_state, mb)
-                    bc_losses.append(metrics["bc_loss"])
-                    ppo_losses.append(metrics["ppo_loss"])
-                if bc_losses:  # buffer can be smaller than one minibatch
-                    logger.log_dict_lazy(
-                        {"train_loss/BC_Loss": jnp.mean(jnp.stack(bc_losses)),
-                         "train_loss/PPO_Loss":
-                             jnp.mean(jnp.stack(ppo_losses))}, global_step)
-                buffer.clear()
+                global_step += 1
+                if args.steps and global_step >= args.steps:
+                    print(f"step cap reached ({args.steps})")
+                    logger.close()
+                    return agent_state
+            print(f"epoch {epoch} done")
+        logger.close()
+        return agent_state
 
-            global_step += 1
-            if args.steps and global_step >= args.steps:
-                print(f"step cap reached ({args.steps})")
-                logger.close()
-                return agent_state
-        print(f"epoch {epoch} done")
-    logger.close()
-    return agent_state
+    from ..utils.profiling import trace_context
+    with trace_context(args.profile):
+        return run()
 
 
 if __name__ == "__main__":

@@ -73,67 +73,73 @@ def main(argv=None):
     ckpt_dir = os.path.abspath(os.path.join(cfg.ckpt_dir, run_name))
     os.makedirs(ckpt_dir, exist_ok=True)
 
-    microbatches = []
-    global_step, best_loss = 0, float("inf")
-    for epoch in range(cfg.epoch):
-        train_loader.set_epoch(epoch)
-        for batch in train_loader:
-            if (global_step % cfg.val_interval < dispatch
-                    and not microbatches and len(val_loader)):
-                logger.flush()
-                val_metrics = []
-                for v_batch in val_loader:
-                    v_batch = {k: jnp.asarray(v) for k, v in v_batch.items()}
-                    val_metrics.append(
-                        {k: float(v) for k, v in eval_step(state, v_batch).items()})
-                mean = {k: float(np.mean([m[k] for m in val_metrics]))
-                        for k in val_metrics[0]}
-                logger.log_dict(mean, global_step, prefix="val/")
-                # Save only on improvement, like the reference
-                # (/root/reference/Train_Geo.py:156-163).
-                if np.isfinite(mean["loss"]) and mean["loss"] < best_loss:
-                    best_loss = mean["loss"]
-                    save_checkpoint(
-                        os.path.join(ckpt_dir,
-                                     f"epoch-{epoch}-step-{global_step}"),
-                        {"params": state.params,
-                         "batch_stats": state.batch_stats,
-                         "step": state.step})
-                print(f"[val] step {global_step} loss {mean['loss']:.4f} "
-                      f"(best {best_loss:.4f})")
+    def run():
+        nonlocal state
+        microbatches = []
+        global_step, best_loss = 0, float("inf")
+        for epoch in range(cfg.epoch):
+            train_loader.set_epoch(epoch)
+            for batch in train_loader:
+                if (global_step % cfg.val_interval < dispatch
+                        and not microbatches and len(val_loader)):
+                    logger.flush()
+                    val_metrics = []
+                    for v_batch in val_loader:
+                        v_batch = {k: jnp.asarray(v) for k, v in v_batch.items()}
+                        val_metrics.append(
+                            {k: float(v) for k, v in eval_step(state, v_batch).items()})
+                    mean = {k: float(np.mean([m[k] for m in val_metrics]))
+                            for k in val_metrics[0]}
+                    logger.log_dict(mean, global_step, prefix="val/")
+                    # Save only on improvement, like the reference
+                    # (/root/reference/Train_Geo.py:156-163).
+                    if np.isfinite(mean["loss"]) and mean["loss"] < best_loss:
+                        best_loss = mean["loss"]
+                        save_checkpoint(
+                            os.path.join(ckpt_dir,
+                                         f"epoch-{epoch}-step-{global_step}"),
+                            {"params": state.params,
+                             "batch_stats": state.batch_stats,
+                             "step": state.step})
+                    print(f"[val] step {global_step} loss {mean['loss']:.4f} "
+                          f"(best {best_loss:.4f})")
 
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            if dispatch > 1:
-                microbatches.append(batch)
-                if len(microbatches) < dispatch:
-                    continue
-                stacked = {k: jnp.stack([mb[k] for mb in microbatches])
-                           for k in batch}
-                microbatches.clear()
-                state, metrics = train_step_multi(
-                    state, stacked, jax.random.key(global_step))
-                logger.log_dict_lazy(metrics, global_step, prefix="train/",
-                                     steps_axis=True)
-                metrics = {k: v[-1] for k, v in metrics.items()}
-                global_step += dispatch
-            else:
-                state, metrics = train_step(state, batch,
-                                            jax.random.key(global_step))
-                logger.log_dict_lazy(metrics, global_step, prefix="train/")
-                global_step += 1
-            if args.steps and global_step >= args.steps:
-                logger.flush()
-                print(f"step cap reached ({args.steps}); final loss "
-                      f"{float(metrics['loss']):.4f}")
-                logger.close()
-                return state
-        # a partial accumulation never spans epochs: the tail (at most
-        # dispatch-1 batches, analogous to the loader's drop_last) is
-        # dropped so one fused scan never mixes epoch streams
-        microbatches.clear()
-        print(f"epoch {epoch} done")
-    logger.close()
-    return state
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                if dispatch > 1:
+                    microbatches.append(batch)
+                    if len(microbatches) < dispatch:
+                        continue
+                    stacked = {k: jnp.stack([mb[k] for mb in microbatches])
+                               for k in batch}
+                    microbatches.clear()
+                    state, metrics = train_step_multi(
+                        state, stacked, jax.random.key(global_step))
+                    logger.log_dict_lazy(metrics, global_step, prefix="train/",
+                                         steps_axis=True)
+                    metrics = {k: v[-1] for k, v in metrics.items()}
+                    global_step += dispatch
+                else:
+                    state, metrics = train_step(state, batch,
+                                                jax.random.key(global_step))
+                    logger.log_dict_lazy(metrics, global_step, prefix="train/")
+                    global_step += 1
+                if args.steps and global_step >= args.steps:
+                    logger.flush()
+                    print(f"step cap reached ({args.steps}); final loss "
+                          f"{float(metrics['loss']):.4f}")
+                    logger.close()
+                    return state
+            # a partial accumulation never spans epochs: the tail (at most
+            # dispatch-1 batches, analogous to the loader's drop_last) is
+            # dropped so one fused scan never mixes epoch streams
+            microbatches.clear()
+            print(f"epoch {epoch} done")
+        logger.close()
+        return state
+
+    from ..utils.profiling import trace_context
+    with trace_context(args.profile):
+        return run()
 
 
 if __name__ == "__main__":

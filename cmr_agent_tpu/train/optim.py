@@ -51,4 +51,7 @@ def make_optimizer(cfg: Config, steps_per_epoch: int = 1000):
     else:
         raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
     parts.append(optax.scale_by_learning_rate(schedule))
+    # (optax.flatten was measured bit-exact but ~5% SLOWER at KITTI scale
+    # on this runtime — the ravel/unravel copies outweigh the per-leaf
+    # dispatch saving — so the chain stays per-leaf.)
     return optax.chain(*parts)

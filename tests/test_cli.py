@@ -41,3 +41,28 @@ def test_cli_train_eval_roundtrip(tmp_path, monkeypatch):
                        "--synthetic-length", "2", "--max-batches", "1",
                        "--geo-ckpt", geo_ckpts[0]])
     assert 0.0 <= r["matching_inlier_ratio"] <= 1.0
+
+
+def test_enable_compile_cache_policy(monkeypatch):
+    import jax
+    from cmr_agent_tpu.cli.common import enable_compile_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        # an explicitly-configured cache (conftest sets one) is never
+        # overridden by the CLI default
+        assert prev  # conftest configured it
+        monkeypatch.delenv("CMR_COMPILE_CACHE", raising=False)
+        enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == prev
+        # CMR_COMPILE_CACHE wins over any existing setting
+        monkeypatch.setenv("CMR_COMPILE_CACHE", "/tmp/cmr_cache_override")
+        enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == "/tmp/cmr_cache_override"
+        # empty env var disables the override entirely
+        jax.config.update("jax_compilation_cache_dir", prev)
+        monkeypatch.setenv("CMR_COMPILE_CACHE", "")
+        enable_compile_cache()
+        assert jax.config.jax_compilation_cache_dir == prev
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

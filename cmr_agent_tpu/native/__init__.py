@@ -25,8 +25,12 @@ _tried = False
 
 
 def _build() -> Optional[str]:
-    cmd = ["g++", "-O3", "-march=native", "-ffast-math", "-shared", "-fPIC",
-           "-std=c++17", _SRC, "-o", _LIB]
+    # -ffp-contract=fast (FMA) instead of -ffast-math: reassociation and
+    # -ffinite-math-only would make the FPS argmax toolchain-dependent on
+    # near-tie distances and turn NaN inputs into undefined behaviour; the
+    # SoA/branchless loops in host_ops.cpp already vectorise at -O3.
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=fast", "-shared",
+           "-fPIC", "-std=c++17", _SRC, "-o", _LIB]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return _LIB

@@ -396,10 +396,18 @@ def knn_fused(xyz, query, k: int, tile: int = 256,
               interpret: bool = False):
     """Exact k nearest neighbours: ``xyz [B,N,3], query [B,M,3] -> [B,M,k]``.
 
-    Ties break toward the lower index (same policy as ``lax.top_k``).
+    *Exact* ties break toward the lower index (same policy as
+    ``lax.top_k``). Near-ties can differ from the XLA fallback: the kernel
+    ranks ``|x|^2 - 2 q.x`` (dropping the row-constant ``|q|^2``), which is
+    argmin-equivalent in exact arithmetic but rounds differently from
+    ``square_distance`` + ``lax.top_k``, so neighbours whose distances agree
+    to within ~1 ulp may swap between the fused and fallback paths.
     """
     b, n, _ = xyz.shape
     m = query.shape[1]
+    if k > n:
+        raise ValueError(f"knn_fused: k={k} exceeds the {n} candidate "
+                         "points; rows would silently pad with index 0")
     tile = min(tile, m)
     m_pad = _round_up(m, tile)
     if m_pad != m:

@@ -8,6 +8,8 @@ scalars, Train_Geo.py:144-184) and always keeps an in-memory history.
 
 from __future__ import annotations
 
+import atexit
+import weakref
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -44,6 +46,12 @@ class MetricLogger:
                 self._writer = SummaryWriter(log_dir=logdir)
             except Exception:
                 self._writer = None
+        # Crash-safe flush: an abnormal exit (unhandled exception, step-cap
+        # miscount, SIGTERM-handled shutdown) would otherwise drop up to
+        # FLUSH_EVERY lazily-buffered entries — exactly the steps a crash
+        # triage needs. Registered via weakref so the hook never extends
+        # the logger's lifetime; a SIGKILL/OOM still loses the window.
+        atexit.register(_flush_at_exit, weakref.ref(self))
 
     def log(self, tag: str, value, step: int) -> None:
         self.history.setdefault(tag, []).append((step, float(value)))
@@ -87,3 +95,12 @@ class MetricLogger:
         self.flush()
         if self._writer is not None:
             self._writer.close()
+
+
+def _flush_at_exit(ref) -> None:
+    logger = ref()
+    if logger is not None:
+        try:
+            logger.flush()
+        except Exception:
+            pass  # device backend may already be torn down at exit

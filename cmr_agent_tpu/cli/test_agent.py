@@ -21,13 +21,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import DataLoader
 from ..train import (create_agent_state, make_val_episode_fn,
-                     restore_checkpoint, registration_metrics,
-                     convert_torch_agent)
+                     restore_checkpoint, model_tree_path,
+                     registration_metrics, convert_torch_agent)
 from ..train.train_geo import make_geo_forward
 from .common import (add_common_args, build_config, build_dataset,
-                     maybe_initialize_distributed, set_seed)
+                     make_loader, maybe_initialize_distributed, set_seed)
 from .train_agent import load_geo_variables
 
 
@@ -51,8 +50,8 @@ def main(argv=None):
     set_seed(cfg.seed)
 
     test_ds = build_dataset(cfg, args, "test")
-    loader = DataLoader(test_ds, args.eval_batch_size, shuffle=False,
-                        num_workers=2)
+    loader = make_loader(cfg, args, test_ds,
+                         batch_size=args.eval_batch_size)
 
     first = next(iter(loader))
     example = {k: jnp.asarray(v) for k, v in first.items()}
@@ -71,7 +70,7 @@ def main(argv=None):
             loaded = convert_torch_agent(cfg, args.agent_ckpt, template)
         else:
             loaded = restore_checkpoint(
-                args.agent_ckpt,
+                model_tree_path(args.agent_ckpt),
                 template=dict(template, step=agent_state.step))
         agent_state = agent_state.replace(params=loaded["params"],
                                           batch_stats=loaded["batch_stats"])

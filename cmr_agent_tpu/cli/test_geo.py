@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import DataLoader
 from ..models import IterModel
 from ..models.multi_head import matching_inlier_ratio
 from ..ops.geometry import pose_diff
@@ -29,7 +28,7 @@ from ..train.convert import convert_torch_itermodel
 from ..train.train_iter import iter_model_state
 from ..train.train_geo import make_geo_forward
 from .common import (add_common_args, build_config, build_dataset,
-                     maybe_initialize_distributed, set_seed)
+                     make_loader, maybe_initialize_distributed, set_seed)
 from .train_agent import load_geo_variables
 
 
@@ -49,7 +48,7 @@ def main(argv=None):
     set_seed(cfg.seed)
 
     test_ds = build_dataset(cfg, args, "test")
-    loader = DataLoader(test_ds, 1, shuffle=False, num_workers=2)
+    loader = make_loader(cfg, args, test_ds, batch_size=1)
 
     first = next(iter(loader))
     example = {k: jnp.asarray(v) for k, v in first.items()}
@@ -69,8 +68,13 @@ def main(argv=None):
             iter_vars = convert_torch_itermodel(cfg, args.iter_ckpt,
                                                 iter_vars)
         else:
-            iter_vars = restore_checkpoint(args.iter_ckpt,
-                                           template=dict(iter_vars))
+            from ..train import model_tree_path
+            path = model_tree_path(args.iter_ckpt)
+            tpl = dict(iter_vars)
+            if path != args.iter_ckpt:  # two-tree layout carries step too
+                tpl["step"] = jnp.zeros((), jnp.int32)
+            restored = restore_checkpoint(path, template=tpl)
+            iter_vars = {k: restored[k] for k in iter_vars}
         print(f"loaded IterModel checkpoint from {args.iter_ckpt}")
 
     @jax.jit

@@ -22,16 +22,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import DataLoader, collate
+from ..data import collate
 from ..env import TrajectoryBuffer
 from ..models import MultiHeadModel
 from ..train import (create_agent_state, make_rollout_fn,
                      make_ppo_update_step, make_val_episode_fn,
-                     save_checkpoint, restore_checkpoint, MetricLogger,
+                     save_train_checkpoint, restore_train_checkpoint,
+                     restore_checkpoint, model_tree_path, MetricLogger,
                      convert_torch_multihead)
 from ..train.train_geo import make_geo_forward
 from .common import (add_common_args, build_config, build_dataset,
-                     maybe_initialize_distributed, set_seed)
+                     make_loader, maybe_initialize_distributed, set_seed)
 
 
 def load_geo_variables(cfg, args, example_batch):
@@ -47,10 +48,12 @@ def load_geo_variables(cfg, args, example_batch):
         if args.geo_ckpt.endswith(".pth"):
             loaded = convert_torch_multihead(cfg, args.geo_ckpt, template)
         else:
-            # orbax template must match the saved tree, which includes step
+            # orbax template must match the saved model tree, which includes
+            # step; model_tree_path handles both the two-tree train-state
+            # layout (<ckpt>/model) and legacy flat checkpoints
             import jax.numpy as _jnp
             loaded = restore_checkpoint(
-                args.geo_ckpt,
+                model_tree_path(args.geo_ckpt),
                 template=dict(template, step=_jnp.zeros((), _jnp.int32)))
         template = {"params": loaded["params"],
                     "batch_stats": loaded["batch_stats"]}
@@ -78,10 +81,11 @@ def main(argv=None):
 
     train_ds = build_dataset(cfg, args, "train")
     val_ds = build_dataset(cfg, args, "val")
-    train_loader = DataLoader(train_ds, cfg.train_batch_size, shuffle=True,
-                              num_workers=2, seed=cfg.seed)
-    val_loader = DataLoader(val_ds, cfg.val_batch_size, shuffle=False,
-                            num_workers=2)
+    train_loader = make_loader(cfg, args, train_ds,
+                               batch_size=cfg.train_batch_size,
+                               shuffle=True, seed=cfg.seed)
+    val_loader = make_loader(cfg, args, val_ds,
+                             batch_size=cfg.val_batch_size)
 
     example = collate([train_ds[0]] * cfg.train_batch_size)
     example = {k: jnp.asarray(v) for k, v in example.items()}
@@ -95,14 +99,10 @@ def main(argv=None):
         jax.random.key(cfg.seed),
         steps_per_epoch=max(len(train_loader), 1))
     if args.resume:
-        tpl = {"params": agent_state.params,
-               "batch_stats": agent_state.batch_stats,
-               "step": agent_state.step}
-        restored = restore_checkpoint(args.resume, template=tpl)
-        agent_state = agent_state.replace(params=restored["params"],
-                                          batch_stats=restored["batch_stats"],
-                                          step=restored["step"])
-        print(f"resumed agent from {args.resume}")
+        agent_state, opt_restored = restore_train_checkpoint(args.resume,
+                                                             agent_state)
+        print(f"resumed agent from {args.resume} (optimizer state "
+              f"{'restored' if opt_restored else 'RESET (legacy ckpt)'})")
 
     rollout = make_rollout_fn(cfg, reward_apply_pose=not args.reference_reward)
     update = make_ppo_update_step(cfg)
@@ -149,12 +149,10 @@ def main(argv=None):
                     # comparable side-by-side.
                     if new_r < best_r or new_t < best_t:
                         best_r, best_t = min(new_r, best_r), min(new_t, best_t)
-                        save_checkpoint(
+                        save_train_checkpoint(
                             os.path.join(ckpt_dir,
                                          f"epoch-{epoch}-step-{global_step}"),
-                            {"params": agent_state.params,
-                             "batch_stats": agent_state.batch_stats,
-                             "step": agent_state.step})
+                            agent_state)
                     print(f"[val] step {global_step} RRE {new_r:.3f} "
                           f"RTE {new_t:.3f} (best {best_r:.3f}/{best_t:.3f})")
 

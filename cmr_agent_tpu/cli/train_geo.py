@@ -16,11 +16,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data import DataLoader, collate
+from ..data import collate
 from ..train import (create_geo_state, make_geo_train_step,
-                     make_geo_eval_step, save_checkpoint, MetricLogger)
+                     make_geo_eval_step, save_train_checkpoint,
+                     restore_train_checkpoint, MetricLogger)
 from .common import (add_common_args, build_config, build_dataset,
-                     maybe_initialize_distributed, set_seed)
+                     make_loader, maybe_initialize_distributed, set_seed)
 
 
 def main(argv=None):
@@ -42,24 +43,22 @@ def main(argv=None):
 
     train_ds = build_dataset(cfg, args, "train")
     val_ds = build_dataset(cfg, args, "val")
-    train_loader = DataLoader(train_ds, cfg.train_batch_size, shuffle=True,
-                              num_workers=2, seed=cfg.seed)
-    val_loader = DataLoader(val_ds, cfg.val_batch_size, shuffle=False,
-                            num_workers=2)
+    train_loader = make_loader(cfg, args, train_ds,
+                               batch_size=cfg.train_batch_size,
+                               shuffle=True, seed=cfg.seed)
+    val_loader = make_loader(cfg, args, val_ds,
+                             batch_size=cfg.val_batch_size)
 
     example = collate([train_ds[0]] * cfg.train_batch_size)
     example = {k: jnp.asarray(v) for k, v in example.items()}
     state = create_geo_state(cfg, example, jax.random.key(cfg.seed),
                              steps_per_epoch=max(len(train_loader), 1))
     if args.resume:
-        from ..train import restore_checkpoint
-        tpl = {"params": state.params, "batch_stats": state.batch_stats,
-               "step": state.step}
-        restored = restore_checkpoint(args.resume, template=tpl)
-        state = state.replace(params=restored["params"],
-                              batch_stats=restored["batch_stats"],
-                              step=restored["step"])
-        print(f"resumed from {args.resume} at step {int(state.step)}")
+        state, opt_restored = restore_train_checkpoint(args.resume, state)
+        print(f"resumed from {args.resume} at step {int(state.step)} "
+              f"(optimizer state {'restored' if opt_restored else 'RESET — '
+              'legacy model-only checkpoint; Adam moments and schedule '
+              'position start fresh'})")
     dispatch = max(1, args.steps_per_dispatch)
     if dispatch > 1:
         from ..train import make_geo_multi_step
@@ -95,12 +94,10 @@ def main(argv=None):
                     # (/root/reference/Train_Geo.py:156-163).
                     if np.isfinite(mean["loss"]) and mean["loss"] < best_loss:
                         best_loss = mean["loss"]
-                        save_checkpoint(
+                        save_train_checkpoint(
                             os.path.join(ckpt_dir,
                                          f"epoch-{epoch}-step-{global_step}"),
-                            {"params": state.params,
-                             "batch_stats": state.batch_stats,
-                             "step": state.step})
+                            state)
                     print(f"[val] step {global_step} loss {mean['loss']:.4f} "
                           f"(best {best_loss:.4f})")
 

@@ -20,13 +20,12 @@ import os
 import jax
 import numpy as np
 
-from ..data import DataLoader
-from ..train import save_checkpoint
+from ..train import save_train_checkpoint, restore_train_checkpoint
 from ..train.train_geo import make_geo_forward
 from ..train.train_iter import (create_iter_state, iter_model_state,
                                 make_iter_train_step)
 from .common import (add_common_args, build_config, build_dataset,
-                     maybe_initialize_distributed, set_seed)
+                     make_loader, maybe_initialize_distributed, set_seed)
 from .train_agent import load_geo_variables
 
 
@@ -38,6 +37,9 @@ def main(argv=None):
                         "random init when empty")
     p.add_argument("--val-interval", type=int, default=0,
                    help="steps between validations (0 = config default)")
+    p.add_argument("--resume", default="",
+                   help="orbax IterModel train checkpoint dir to resume "
+                        "from (params + batch stats + optimizer state)")
     args = p.parse_args(argv)
     maybe_initialize_distributed(args)
 
@@ -49,10 +51,11 @@ def main(argv=None):
 
     train_ds = build_dataset(cfg, args, "train")
     val_ds = build_dataset(cfg, args, "val")
-    loader = DataLoader(train_ds, cfg.train_batch_size, shuffle=True,
-                        num_workers=cfg.num_workers, seed=cfg.seed)
-    val_loader = DataLoader(val_ds, cfg.val_batch_size, shuffle=False,
-                            num_workers=2)
+    loader = make_loader(cfg, args, train_ds,
+                         batch_size=cfg.train_batch_size,
+                         shuffle=True, seed=cfg.seed)
+    val_loader = make_loader(cfg, args, val_ds,
+                             batch_size=cfg.val_batch_size)
 
     first = next(iter(loader))
     example = {k: jnp.asarray(v) for k, v in first.items()}
@@ -64,6 +67,11 @@ def main(argv=None):
     state0 = iter_model_state(geo_out0, example)
     iter_state = create_iter_state(cfg, state0, jax.random.key(cfg.seed),
                                    steps_per_epoch=max(1, len(loader)))
+    if args.resume:
+        iter_state, opt_restored = restore_train_checkpoint(args.resume,
+                                                            iter_state)
+        print(f"resumed IterModel from {args.resume} (optimizer state "
+              f"{'restored' if opt_restored else 'RESET (legacy ckpt)'})")
     step_fn = make_iter_train_step(cfg)
 
     ckpt_root = os.path.join(cfg.ckpt_dir, f"iter_{cfg.name}")
@@ -112,11 +120,10 @@ def main(argv=None):
                       f"grid_acc {va:.3f} (best {best_loss:.4f})",
                       flush=True)
                 if improved:
-                    save_checkpoint(
+                    save_train_checkpoint(
                         os.path.join(ckpt_root,
                                      f"epoch-{epoch}-step-{step}"),
-                        {"params": iter_state.params,
-                         "batch_stats": iter_state.batch_stats})
+                        iter_state)
             step += 1
             if args.steps and step >= args.steps:
                 print(f"step cap reached ({args.steps}); final cv_loss "

@@ -29,6 +29,11 @@ def main(argv=None):
     p.add_argument("--stress", action="store_true",
                    help="read the whole dataset with a thread pool")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--feed-rate", type=int, default=0, metavar="NBATCH",
+                   help="measure the training-CLI loader feed rate over "
+                        "NBATCH batches (uses the same make_loader policy "
+                        "as the train CLIs: --num-workers/--loader-backend "
+                        "apply)")
     args = p.parse_args(argv)
 
     cfg = build_config(args)
@@ -42,6 +47,29 @@ def main(argv=None):
     for k, v in sample.items():
         v = np.asarray(v)
         print(f"  {k:32s} {str(v.shape):18s} {v.dtype}")
+
+    if args.feed_rate:
+        from ..cli.common import make_loader
+        loader = make_loader(cfg, args, ds,
+                             batch_size=cfg.train_batch_size,
+                             shuffle=True, seed=cfg.seed)
+        backend = ("sync" if loader.num_workers == 0 else
+                   "processes" if loader.use_processes else "threads")
+        print(f"loader: {loader.num_workers} workers ({backend}), "
+              f"batch {cfg.train_batch_size}")
+        it = iter(loader)
+        next(it)  # warm-up: pool spin-up + first pipeline pass
+        t0 = time.perf_counter()
+        done = 0
+        for done, _ in enumerate(it, start=1):
+            if done >= args.feed_rate:
+                break
+        dt = time.perf_counter() - t0
+        rate = done * cfg.train_batch_size / dt
+        print(f"feed rate: {rate:.1f} samples/s "
+              f"({done} batches in {dt:.1f} s)")
+        loader.close()
+        return rate
 
     if args.stress:
         n = len(ds)

@@ -10,7 +10,10 @@ from .train_agent import (  # noqa: F401
     make_val_episode_fn,
 )
 from .metrics import registration_metrics, MetricLogger  # noqa: F401
-from .checkpoint import save_checkpoint, restore_checkpoint  # noqa: F401
+from .checkpoint import (  # noqa: F401
+    save_checkpoint, restore_checkpoint, save_train_checkpoint,
+    restore_train_checkpoint, model_tree_path,
+)
 from .convert import convert_torch_multihead, convert_torch_agent  # noqa: F401
 from .export import (  # noqa: F401
     export_geo_forward, export_episode, load_exported,

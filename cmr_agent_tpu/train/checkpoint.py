@@ -32,3 +32,51 @@ def restore_checkpoint(path: str, template: Optional[Any] = None) -> Any:
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
         return ckptr.restore(path, abstract)
     return ckptr.restore(path)
+
+
+# ---- full train-state checkpoints (true resume) ---------------------------
+# The reference's resume loads only the model state_dict
+# (/root/reference/Train_Geo.py:58-61), silently resetting Adam moments and
+# the scheduler position. Here a train checkpoint is two orbax trees:
+#   path/model  {params, batch_stats, step}   — what eval / frozen-geo
+#                                               loading already consume
+#   path/opt    {opt_state}                   — optax state (Adam mu/nu +
+#                                               schedule count)
+# so model-only consumers never need an optimizer template, while resume
+# restores both and continues bit-identically to an uninterrupted run
+# (tests/test_train.py::test_kill_restart_resume_bitexact).
+
+def save_train_checkpoint(path: str, state: Any) -> None:
+    """Save a full train state (any of Geo/Agent/IterTrainState)."""
+    save_checkpoint(os.path.join(path, "model"),
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats,
+                     "step": state.step})
+    save_checkpoint(os.path.join(path, "opt"), {"opt_state": state.opt_state})
+
+
+def model_tree_path(path: str) -> str:
+    """Resolve a checkpoint dir to its model subtree: new two-tree layout
+    (``path/model``) or a legacy flat model-only checkpoint (``path``)."""
+    sub = os.path.join(path, "model")
+    return sub if os.path.isdir(sub) else path
+
+
+def restore_train_checkpoint(path: str, state: Any):
+    """Restore ``save_train_checkpoint`` output (or a legacy flat model-only
+    checkpoint) onto ``state``. Returns ``(state, opt_restored)`` —
+    ``opt_restored`` is False when only model weights were found, in which
+    case the caller keeps the fresh optimizer state (the reference's
+    behaviour, now loud instead of silent)."""
+    tpl = {"params": state.params, "batch_stats": state.batch_stats,
+           "step": state.step}
+    model_path = model_tree_path(path)
+    m = restore_checkpoint(model_path, template=tpl)
+    state = state.replace(params=m["params"], batch_stats=m["batch_stats"],
+                          step=m["step"])
+    opt_path = os.path.join(path, "opt")
+    if model_path != path and os.path.isdir(opt_path):
+        o = restore_checkpoint(opt_path,
+                               template={"opt_state": state.opt_state})
+        return state.replace(opt_state=o["opt_state"]), True
+    return state, False

@@ -29,6 +29,11 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--logdir", default=None)
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--synthetic-length", type=int, default=64)
+    p.add_argument("--synthetic-scene", default="random",
+                   choices=["random", "structured"],
+                   help="synthetic generator: 'structured' (persistent "
+                        "ground+boxes, rendered image) stays observable at "
+                        "the full +-10 m/+-pi perturbation protocol")
     p.add_argument("--num-workers", type=int, default=None,
                    help="loader workers; default min(cfg.num_workers, host "
                         "cores). The KITTI-scale pipeline costs ~67 ms/"
@@ -128,7 +133,9 @@ def build_dataset(cfg: Config, args, mode: str):
     if args.dataset == "synthetic" or args.tiny:
         seed = {"train": 0, "val": 1, "test": 2}[mode]
         return SyntheticDataset(cfg, length=args.synthetic_length, seed=seed,
-                                fps_fn=fps_fn, nn_fn=nn_fn)
+                                fps_fn=fps_fn, nn_fn=nn_fn,
+                                scene=getattr(args, "synthetic_scene",
+                                              "random"))
     if args.dataset == "nuscenes":
         return NuScenesDataset(cfg, mode, fps_fn=fps_fn, nn_fn=nn_fn)
     return KittiDataset(cfg, mode, fps_fn=fps_fn, nn_fn=nn_fn)

@@ -88,6 +88,26 @@ def global_batch_size(local_batch_size: int) -> int:
     return local_batch_size * jax.process_count()
 
 
+def barrier(name: str, timeout_s: float = 900.0) -> None:
+    """Coordination-service barrier — aligns processes WITHOUT a device
+    collective.
+
+    Needed before the *first execution* of a freshly-compiled collective
+    program: XLA:CPU's Gloo context initialisation has a hard 30 s
+    key-value timeout, and per-process compile skew (contended hosts, cold
+    caches) easily exceeds it — one process enters the all-reduce while
+    the other is still compiling, and the whole job dies. AOT-compile
+    (``jit(f).lower(...).compile()``), hit this barrier, then execute.
+    No-op in single-process jobs.
+    """
+    if jax.process_count() == 1:
+        return
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
+
+
 def psum_scalar(x):
     """Cross-process scalar sum (e.g. metric reduction).
 

@@ -54,6 +54,12 @@ def main(argv=None):
                         "imitation problem observable")
     p.add_argument("--r-amp", type=float, default=None,
                    help="yaw perturbation amplitude (rad)")
+    p.add_argument("--scene", default="random",
+                   choices=["random", "structured"],
+                   help="'structured' (persistent ground+boxes + rendered "
+                        "image) keeps the full reference +-10 m/+-pi "
+                        "protocol observable — use it with NO --t-amp/"
+                        "--r-amp reduction for the full-amplitude run")
     args = p.parse_args(argv)
 
     amp = {}
@@ -70,11 +76,12 @@ def main(argv=None):
                            num_trajectory=2, ppo_batch_size=8, **amp)
         from cmr_agent_tpu.native import get_fast_host_ops
         fps_fn, nn_fn = get_fast_host_ops()
-        ds = SyntheticDataset(cfg, length=16, fps_fn=fps_fn, nn_fn=nn_fn)
+        ds = SyntheticDataset(cfg, length=16, fps_fn=fps_fn, nn_fn=nn_fn,
+                              scene=args.scene)
     else:
         cfg = tiny_config(train_batch_size=args.batch_size,
                           num_trajectory=2, ppo_batch_size=8, **amp)
-        ds = SyntheticDataset(cfg, length=16)
+        ds = SyntheticDataset(cfg, length=16, scene=args.scene)
     loader = DataLoader(ds, args.batch_size, shuffle=True, num_workers=0)
 
     # ---- stage 1: geo model ----

@@ -57,6 +57,40 @@ def test_sample_keys_shapes_and_consistency():
     np.testing.assert_array_equal(in_pic.astype(np.int32), s["pc_mask"])
 
 
+def test_structured_scene_full_amplitude_observability():
+    """The structured generator (VERDICT r2 next-round #4) must keep the
+    imitation problem observable at the reference's full +-10 m/+-pi
+    protocol: structure in the frustum under ANY yaw, an image computed
+    from the scene geometry, and the shared-pipeline contract intact."""
+    from cmr_agent_tpu.data.synthetic import make_structured_raw
+
+    rng = np.random.default_rng(0)
+    h, w = CFG.cropped_img_h, CFG.cropped_img_w
+    img, pc, K = make_structured_raw(rng, h, w, CFG.num_pt)
+    assert img.shape == (h, w, 3) and img.dtype == np.float32
+    assert (img.max(-1) > 0.03).mean() > 0.2      # rendered, not empty
+
+    # structure survives worst-case perturbations: rotate the cloud
+    # through 8 yaws + a 10 m shift; every pose keeps points in frustum
+    for yaw in np.linspace(-np.pi, np.pi, 8, endpoint=False):
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        pert = pc @ R.T + np.array([10.0, 0.0, -10.0])
+        _, mask, _ = project_and_masks(pert, K, CFG.image_h, CFG.image_w)
+        assert mask.mean() > 0.005, f"yaw {yaw:.2f}: frustum starved"
+
+    # same sample schema as the random generator (drop-in for the CLIs)
+    s_struct = SyntheticDataset(CFG, length=1, scene="structured")[0]
+    s_rand = SyntheticDataset(CFG, length=1)[0]
+    assert set(s_struct) == set(s_rand)
+    for k in s_rand:
+        assert np.asarray(s_struct[k]).shape == np.asarray(s_rand[k]).shape
+
+    # deterministic per (seed, index)
+    s2 = SyntheticDataset(CFG, length=1, scene="structured")[0]
+    np.testing.assert_array_equal(s_struct["pc"], s2["pc"])
+
+
 def test_angles_and_labels():
     R = angles_to_rotation_matrix([0.0, 0.3, 0.0])
     c, s = np.cos(0.3), np.sin(0.3)

@@ -20,9 +20,6 @@ FULL reference scale; point counts and channel width are reduced
 (consistently on both sides) to keep the test tractable on CPU.
 """
 
-import sys
-import types
-
 import numpy as np
 import pytest
 import torch
@@ -31,50 +28,11 @@ import jax.numpy as jnp
 
 from cmr_agent_tpu.config import Config
 from cmr_agent_tpu.models import MultiHeadModel, CMRAgent
+from cmr_agent_tpu.tools.reference_shim import install_reference_imports
 from cmr_agent_tpu.train.convert import (convert_torch_multihead,
                                          convert_torch_agent)
 
-REF = "/root/reference"
-
-
-def _install_reference_imports():
-    """Make the reference package importable on this torch-CPU host."""
-    if "torch_scatter" not in sys.modules:
-        shim = types.ModuleType("torch_scatter")
-
-        def _sized(src, index, dim, dim_size, fill):
-            n = int(index.max().item()) + 1 if dim_size is None else dim_size
-            shape = list(src.shape)
-            shape[dim] = n
-            return torch.full(shape, fill, dtype=src.dtype)
-
-        def scatter_max(src, index, dim=0, dim_size=None):
-            out = _sized(src, index, dim, dim_size, -float("inf"))
-            out = out.scatter_reduce(dim, index, src, reduce="amax",
-                                     include_self=True)
-            return out, torch.zeros_like(out, dtype=torch.long)
-
-        def scatter_sum(src, index, dim=0, dim_size=None):
-            out = _sized(src, index, dim, dim_size, 0.0)
-            return out.scatter_add(dim, index, src)
-
-        def scatter_mean(src, index, dim=0, dim_size=None):
-            s = scatter_sum(src, index, dim, dim_size)
-            c = scatter_sum(torch.ones_like(src), index, dim, dim_size)
-            return s / c.clamp(min=1.0)
-
-        shim.scatter_max = scatter_max
-        shim.scatter_sum = scatter_sum
-        shim.scatter_mean = scatter_mean
-        sys.modules["torch_scatter"] = shim
-
-    if REF not in sys.path:
-        sys.path.insert(0, REF)
-
-    # The reference calls .cuda() inside forward (IMGPCEncoder.py:130-134,
-    # MultiHeadModel.py:68,78,244,251,346); no CUDA on this host.
-    torch.Tensor.cuda = lambda self, *a, **k: self
-    torch.nn.Module.cuda = lambda self, *a, **k: self
+_install_reference_imports = install_reference_imports
 
 
 # Reduced-but-consistent dimensions (image scale is fixed by the reference's

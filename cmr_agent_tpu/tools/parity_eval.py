@@ -164,11 +164,15 @@ def run_ours(cfg, geo_ckpt: str, agent_ckpt: str, samples):
 # reference side
 # --------------------------------------------------------------------------
 
-def _build_reference_config(dry_run: bool):
+def _build_reference_config(dry_run: bool, dataset: str = "kitti"):
     import importlib
 
-    cfg_mod = importlib.import_module("config.KittiConfig")
-    rcfg = cfg_mod.KittiConfiguration("/nonexistent")
+    if dataset == "nuscenes":
+        cfg_mod = importlib.import_module("config.NuScenesConfig")
+        rcfg = cfg_mod.NuScenesConfiguration("/nonexistent")
+    else:
+        cfg_mod = importlib.import_module("config.KittiConfig")
+        rcfg = cfg_mod.KittiConfiguration("/nonexistent")
     if dry_run:
         for k, v in DRY_DIMS.items():
             if hasattr(rcfg, k):
@@ -353,7 +357,7 @@ def main(argv=None):
                     "(or use --dry-run)")
         make = nuscenes_config if args.dataset == "nuscenes" else kitti_config
         cfg = make(args.data_root, seed=PROTOCOL_SEED)
-        rcfg = _build_reference_config(dry_run=False)
+        rcfg = _build_reference_config(dry_run=False, dataset=args.dataset)
 
     samples = list(iter_samples(args, cfg))
     print(f"protocol: {len(samples)} samples, seed {PROTOCOL_SEED}, bs 1, "

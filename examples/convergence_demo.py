@@ -60,6 +60,30 @@ def main(argv=None):
                         "image) keeps the full reference +-10 m/+-pi "
                         "protocol observable — use it with NO --t-amp/"
                         "--r-amp reduction for the full-amplitude run")
+    p.add_argument("--pool-size", type=int, default=16,
+                   help="scenes per training pool")
+    p.add_argument("--refresh-every", type=int, default=0,
+                   help="regenerate the training pool (fresh scenes AND "
+                        "fresh perturbations via dataset.set_epoch) every N "
+                        "agent steps; 0 keeps the historical fixed-pool "
+                        "behaviour. At the full +-10 m/+-pi protocol a "
+                        "frozen 16-perturbation pool is far too sparse to "
+                        "learn from (round-3 run: agreement 24%% but RTE "
+                        "diverged); refreshing makes the perturbation "
+                        "space effectively unlimited, like a real dataset")
+    p.add_argument("--geo-refresh-every", type=int, default=0,
+                   help="same for geo training steps; 0 = fixed pool")
+    p.add_argument("--curriculum", type=float, default=0.0,
+                   help="fraction of agent steps over which the TRAINING "
+                        "perturbation amplitude ramps 0.15->1.0 of full "
+                        "(validation always runs at full amplitude). "
+                        "Standard imitation-learning trick: early pools "
+                        "keep the policy near states where BC labels are "
+                        "informative; 0 disables. Requires --refresh-every")
+    p.add_argument("--val-size", type=int, default=0,
+                   help="held-out validation scenes at FULL amplitude "
+                        "(fixed seed, disjoint from training); 0 = "
+                        "historical behaviour (validate on the train pool)")
     args = p.parse_args(argv)
 
     amp = {}
@@ -68,6 +92,7 @@ def main(argv=None):
     if args.r_amp is not None:
         amp.update(p_ry_amplitude=args.r_amp)
 
+    fps_fn = nn_fn = None
     if args.full:
         from cmr_agent_tpu.config import kitti_config
         jax.config.update("jax_compilation_cache_dir", "/tmp/cmr_jax_cache")
@@ -76,22 +101,51 @@ def main(argv=None):
                            num_trajectory=2, ppo_batch_size=8, **amp)
         from cmr_agent_tpu.native import get_fast_host_ops
         fps_fn, nn_fn = get_fast_host_ops()
-        ds = SyntheticDataset(cfg, length=16, fps_fn=fps_fn, nn_fn=nn_fn,
-                              scene=args.scene)
     else:
         cfg = tiny_config(train_batch_size=args.batch_size,
                           num_trajectory=2, ppo_batch_size=8, **amp)
-        ds = SyntheticDataset(cfg, length=16, scene=args.scene)
-    loader = DataLoader(ds, args.batch_size, shuffle=True, num_workers=0)
+
+    def scaled_cfg(scale: float):
+        """cfg with training perturbation amplitudes scaled (curriculum)."""
+        import dataclasses
+        if scale >= 1.0:
+            return cfg
+        return dataclasses.replace(
+            cfg,
+            p_tx_amplitude=cfg.p_tx_amplitude * scale,
+            p_ty_amplitude=cfg.p_ty_amplitude * scale,
+            p_tz_amplitude=cfg.p_tz_amplitude * scale,
+            p_rx_amplitude=cfg.p_rx_amplitude * scale,
+            p_ry_amplitude=cfg.p_ry_amplitude * scale,
+            p_rz_amplitude=cfg.p_rz_amplitude * scale)
+
+    def make_pool(length: int, *, seed: int, epoch: int = 0,
+                  scale: float = 1.0, shuffle: bool = True):
+        """Materialise a pool of device batches: fresh scenes AND fresh
+        perturbations per (seed, epoch). All shapes are constant across
+        pools, so the compiled train/rollout programs are reused."""
+        ds = SyntheticDataset(scaled_cfg(scale), length=length, seed=seed,
+                              fps_fn=fps_fn, nn_fn=nn_fn, scene=args.scene)
+        ds.set_epoch(epoch)
+        loader = DataLoader(ds, args.batch_size, shuffle=shuffle,
+                            num_workers=0, seed=seed + epoch)
+        return [dict((k, jnp.asarray(v)) for k, v in b.items())
+                for b in loader]
 
     # ---- stage 1: geo model ----
-    batches = [dict((k, jnp.asarray(v)) for k, v in b.items())
-               for b in loader]
+    batches = make_pool(args.pool_size, seed=0)
+    # held-out validation pool: full amplitude always, disjoint seed
+    val_batches = (make_pool(args.val_size, seed=7919, shuffle=False)
+                   if args.val_size > 0 else None)
     geo_state = create_geo_state(cfg, batches[0], jax.random.key(0))
     geo_step = make_geo_train_step(cfg)
     t0 = time.time()
     losses = []
     for i in range(args.geo_steps):
+        if (args.geo_refresh_every and i > 0
+                and i % args.geo_refresh_every == 0):
+            batches = make_pool(args.pool_size, seed=0,
+                                epoch=i // args.geo_refresh_every)
         geo_state, metrics = geo_step(geo_state, batches[i % len(batches)],
                                       jax.random.key(i))
         losses.append(float(metrics["loss"]))
@@ -134,7 +188,7 @@ def main(argv=None):
 
     def eval_agent(state):
         rte_all, rre_all = [], []
-        for batch in batches:
+        for batch in (val_batches if val_batches is not None else batches):
             geo_out = fwd(geo_state.params, geo_state.batch_stats, batch)
             _, rte, rre = val(state, geo_out, batch)
             rte_all += np.asarray(rte).tolist()
@@ -149,9 +203,22 @@ def main(argv=None):
     val_every = max(10, args.agent_steps // 8)
     best_score, best_snap = np.inf, None
 
+    def cur_scale(i: int) -> float:
+        """Curriculum amplitude scale at agent step ``i`` (0.15 -> 1.0)."""
+        if args.curriculum <= 0:
+            return 1.0
+        ramp = max(1.0, args.curriculum * args.agent_steps)
+        return min(1.0, 0.15 + 0.85 * i / ramp)
+
     t0 = time.time()
     bc_first = bc_last = None
     for i in range(args.agent_steps):
+        if args.refresh_every and i % args.refresh_every == 0:
+            # agent-stage pools: own seed stream (disjoint from geo's),
+            # fresh scenes + perturbations, curriculum-scaled amplitude
+            batches = make_pool(args.pool_size, seed=1000,
+                                epoch=i // args.refresh_every,
+                                scale=cur_scale(i))
         batch = batches[i % len(batches)]
         geo_out = fwd(geo_state.params, geo_state.batch_stats, batch)
         traj, _, _ = rollout(agent_state, geo_out, batch, jax.random.key(i))
@@ -193,7 +260,7 @@ def main(argv=None):
         """Deterministic-policy agreement with the expert along its own
         trajectory (what behaviour cloning optimises)."""
         agree, total = 0, 0
-        for batch in batches:
+        for batch in (val_batches if val_batches is not None else batches):
             geo_out = fwd(geo_state.params, geo_state.batch_stats, batch)
             traj, _, _ = rollout_det(state, geo_out, batch)
             for k in ("r", "t"):
@@ -207,7 +274,7 @@ def main(argv=None):
         r_steps = jnp.asarray(cfg.r_steps_array())
         t_steps = jnp.asarray(cfg.t_steps_array())
         rte_all, rre_all = [], []
-        for batch in batches:
+        for batch in (val_batches if val_batches is not None else batches):
             pose, tgt = init_poses(batch)
             tgt = to_disentangled(tgt, batch["pc"])
             for _ in range(cfg.action_num):

@@ -56,6 +56,7 @@ def test_make_loader_worker_policy(monkeypatch):
 
     cfg = micro_config(num_workers=12)
     ds = SyntheticDataset(cfg, length=4, seed=0)
+    ds.gil_bound = True                  # stand-in for kitti __getitem__
     ns = argparse.Namespace(num_workers=None, loader_backend="auto",
                             dataset="kitti")
     monkeypatch.setattr(os, "cpu_count", lambda: 16)
@@ -68,6 +69,7 @@ def test_make_loader_worker_policy(monkeypatch):
     assert ld.num_workers == 4           # capped at host cores
 
     ns.dataset = "synthetic"
+    ds.gil_bound = False                 # dataset attribute drives the choice
     ld = cli_common.make_loader(cfg, ns, ds, batch_size=2)
     assert not ld.use_processes          # numpy pipeline: threads suffice
 

@@ -93,8 +93,8 @@ def build_workload(cfg, batch_size: int):
 
 #: dense bf16 peak FLOP/s per chip by device kind substring (public specs)
 PEAK_FLOPS = (("v6e", 918e12), ("v5p", 459e12), ("v5e", 197e12),
-              ("v5litepod", 197e12), ("v4", 275e12), ("v3", 123e12),
-              ("v2", 45e12))
+              ("v5litepod", 197e12), ("v5 lite", 197e12), ("v4", 275e12),
+              ("v3", 123e12), ("v2", 45e12))
 
 
 def peak_flops_for(device) -> float | None:
@@ -177,8 +177,8 @@ def main():
         rates, tpu_compile, cost = time_backend(
             dev, cfg, batch_size=8, iters=10, warmup=3, repeats=5)
         tpu_rate = float(np.median(rates))
-        log(f"TPU ({dtype}): median {tpu_rate:.3f} pairs/s over "
-            f"{len(rates)} blocks "
+        log(f"TPU ({dtype}, {dev.device_kind!r}): median {tpu_rate:.3f} "
+            f"pairs/s over {len(rates)} blocks "
             f"[{min(rates):.1f}..{max(rates):.1f}] "
             f"(compile {tpu_compile:.1f}s)")
         if cost and cost.get("flops"):

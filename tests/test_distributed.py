@@ -9,6 +9,8 @@ from per-process local batches and run a cross-process reduction.
 
 import socket
 import subprocess
+
+import pytest
 import sys
 import textwrap
 
@@ -160,6 +162,7 @@ def test_two_process_cpu_smoke():
         assert "OK" in out
 
 
+@pytest.mark.slow
 def test_two_process_dp_train_step_matches_single_process():
     """A geo train step across two processes (4 virtual devices each) must
     match the single-process 8-device dp mesh bit-for-bit: same global

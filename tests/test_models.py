@@ -199,6 +199,7 @@ def test_bfloat16_compute_dtype(cfg, batch):
         m16.init(rngs, batch, train=False, with_loss=True)["params"])
 
 
+@pytest.mark.slow
 def test_nuscenes_shaped_geometry_end_to_end():
     """Non-KITTI fused-map shapes work end to end (the reference hardcodes
     40x128/5120 and breaks on NuScenes: MultiHeadModel.py:340,

@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -4,6 +4,7 @@ import os
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from cmr_agent_tpu.config import micro_config
@@ -101,6 +102,7 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_kill_restart_resume_bitexact(tmp_path):
     """True resume (VERDICT r2 missing #3): a run checkpointed with
     save_train_checkpoint and continued in a FRESH train state must match
@@ -217,6 +219,7 @@ def test_iter_model_train_step_descends():
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_multi_step_matches_sequential_single_steps():
     from cmr_agent_tpu.train import make_geo_multi_step
     batches = [_batch(2), _batch(2)]

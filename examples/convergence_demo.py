@@ -80,6 +80,9 @@ def main(argv=None):
                         "Standard imitation-learning trick: early pools "
                         "keep the policy near states where BC labels are "
                         "informative; 0 disables. Requires --refresh-every")
+    p.add_argument("--val-every", type=int, default=0,
+                   help="validate (and consider a best snapshot) every N "
+                        "agent steps; 0 = max(10, agent_steps/8)")
     p.add_argument("--val-size", type=int, default=0,
                    help="held-out validation scenes at FULL amplitude "
                         "(fixed seed, disjoint from training); 0 = "
@@ -200,7 +203,7 @@ def main(argv=None):
     # is noisy late in training, so the returned agent is the best
     # val snapshot, not the final step. Score weights RRE:RTE as the
     # registration-recall thresholds do (10 deg : 5 m).
-    val_every = max(10, args.agent_steps // 8)
+    val_every = args.val_every or max(10, args.agent_steps // 8)
     best_score, best_snap = np.inf, None
 
     def cur_scale(i: int) -> float:

@@ -6,8 +6,10 @@ import glob
 import os
 
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_cli_train_eval_roundtrip(tmp_path, monkeypatch):
     # the CLI round-trip asserts wiring, not math: swap the --tiny
     # config for micro (compile time dominates on this host)

@@ -1,6 +1,7 @@
 """Serving export round-trip: StableHLO artifact == live apply."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -23,6 +24,7 @@ def _setup():
     return model, gv, batch
 
 
+@pytest.mark.slow
 def test_geo_forward_export_roundtrip(tmp_path):
     model, gv, batch = _setup()
     path = str(tmp_path / "geo.stablehlo")

@@ -182,6 +182,7 @@ def test_gnn_capability_surface():
     assert mlp.apply(v, x).shape == (2, 64, 16)
 
 
+@pytest.mark.slow
 def test_bfloat16_compute_dtype(cfg, batch):
     """compute_dtype=bfloat16: f32 params, bf16 activations, f32 outputs,
     results close to the f32 model."""

@@ -19,6 +19,7 @@ from cmr_agent_tpu.train import create_geo_state, make_geo_train_step
 CFG = micro_config(train_batch_size=4)
 
 
+@pytest.mark.slow
 def test_dp_train_step_matches_single_device():
     ds = SyntheticDataset(CFG, length=4)
     batch = collate([ds[i] for i in range(4)])
@@ -68,6 +69,7 @@ def test_batch_sharding_layout():
     assert sharded.sharding.spec == P("dp", None, None)
 
 
+@pytest.mark.slow
 def test_sharded_forward_with_sp():
     from cmr_agent_tpu.parallel import make_sharded_geo_forward
     from cmr_agent_tpu.models import MultiHeadModel

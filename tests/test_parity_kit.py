@@ -22,3 +22,16 @@ def test_parity_kit_dry_run(tmp_path):
     assert d["rte_abs_delta_mean"] < 1e-2
     assert d["rre_abs_delta_mean"] < 1.0
     assert report["num_samples"] == 2
+
+
+@pytest.mark.slow
+def test_parity_kit_dry_run_nuscenes(tmp_path):
+    """--dataset nuscenes must route to the reference's NuScenesConfiguration
+    (round-3 fix) and still reach per-sample agreement."""
+    from cmr_agent_tpu.tools.parity_eval import main
+
+    report = main(["--dry-run", "--dataset", "nuscenes",
+                   "--synthetic-length", "2", "--max-samples", "2",
+                   "--out", str(tmp_path / "report.json")])
+    assert report["dry_run_agreement"] == "PASS"
+    assert report["num_samples"] == 2

@@ -53,6 +53,7 @@ def test_lr_schedule_steplr():
                       CFG.lr * CFG.scheduler_gamma)
 
 
+@pytest.mark.slow
 def test_agent_rollout_update_and_val():
     batch = _batch()
     geo_state = create_geo_state(CFG, batch, jax.random.key(0))

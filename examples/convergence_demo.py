@@ -80,6 +80,23 @@ def main(argv=None):
                         "Standard imitation-learning trick: early pools "
                         "keep the policy near states where BC labels are "
                         "informative; 0 disables. Requires --refresh-every")
+    p.add_argument("--amp-mixture", action="store_true",
+                   help="per-sample amplitude mixture instead of a time "
+                        "curriculum: every pool sample draws its own "
+                        "(t, r) amplitude from the reference's T_list/"
+                        "R_list design (NuScenesDataset.py:64-65, dead "
+                        "upstream) — easy samples anchor BC while "
+                        "full-amplitude ones train the hard regime from "
+                        "step 0. Applies to geo and agent pools; "
+                        "overrides --curriculum; requires --refresh-every")
+    p.add_argument("--w-entropy", type=float, default=None,
+                   help="override cfg.w_entropy (the PPO entropy bonus): "
+                        "at +-pi yaw the deterministic-argmax policy can "
+                        "fall into a rotation-frozen local optimum (always "
+                        "the 0-degree step scores a constant val RRE equal "
+                        "to the initial error); a larger entropy bonus "
+                        "keeps rotation exploration alive long enough for "
+                        "the PPO term to reward committed rotation")
     p.add_argument("--val-every", type=int, default=0,
                    help="validate (and consider a best snapshot) every N "
                         "agent steps; 0 = max(10, agent_steps/8)")
@@ -94,6 +111,8 @@ def main(argv=None):
         amp.update(p_tx_amplitude=args.t_amp, p_tz_amplitude=args.t_amp)
     if args.r_amp is not None:
         amp.update(p_ry_amplitude=args.r_amp)
+    if args.w_entropy is not None:
+        amp.update(w_entropy=args.w_entropy)
 
     fps_fn = nn_fn = None
     if args.full:
@@ -108,35 +127,66 @@ def main(argv=None):
         cfg = tiny_config(train_batch_size=args.batch_size,
                           num_trajectory=2, ppo_batch_size=8, **amp)
 
-    def scaled_cfg(scale: float):
-        """cfg with training perturbation amplitudes scaled (curriculum)."""
+    def scaled_cfg(scale: float, r_scale: float | None = None):
+        """cfg with training perturbation amplitudes scaled (curriculum /
+        mixture). ``r_scale`` defaults to ``scale`` (coupled)."""
         import dataclasses
-        if scale >= 1.0:
+        rs = scale if r_scale is None else r_scale
+        if scale >= 1.0 and rs >= 1.0:
             return cfg
         return dataclasses.replace(
             cfg,
             p_tx_amplitude=cfg.p_tx_amplitude * scale,
             p_ty_amplitude=cfg.p_ty_amplitude * scale,
             p_tz_amplitude=cfg.p_tz_amplitude * scale,
-            p_rx_amplitude=cfg.p_rx_amplitude * scale,
-            p_ry_amplitude=cfg.p_ry_amplitude * scale,
-            p_rz_amplitude=cfg.p_rz_amplitude * scale)
+            p_rx_amplitude=cfg.p_rx_amplitude * rs,
+            p_ry_amplitude=cfg.p_ry_amplitude * rs,
+            p_rz_amplitude=cfg.p_rz_amplitude * rs)
+
+    # Per-sample amplitude mixture, the reference's own (dead-code) design:
+    # NuScenesDataset.py:64-65 defines T_list=[0.5..10] m and
+    # R_list=[0.9..180] deg for random_RT_amplitude — every training sample
+    # draws its own difficulty, so easy samples anchor BC while hard ones
+    # feed the full-protocol signal from step 0. Expressed as fractions of
+    # the full amplitude:
+    T_MIX = (0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+    R_MIX = (0.005, 0.01, 0.02, 0.04, 0.08, 0.16, 0.32, 0.64, 1.0)
 
     def make_pool(length: int, *, seed: int, epoch: int = 0,
-                  scale: float = 1.0, shuffle: bool = True):
+                  scale: float = 1.0, shuffle: bool = True,
+                  mixture: bool = False):
         """Materialise a pool of device batches: fresh scenes AND fresh
         perturbations per (seed, epoch). All shapes are constant across
-        pools, so the compiled train/rollout programs are reused."""
-        ds = SyntheticDataset(scaled_cfg(scale), length=length, seed=seed,
-                              fps_fn=fps_fn, nn_fn=nn_fn, scene=args.scene)
-        ds.set_epoch(epoch)
-        loader = DataLoader(ds, args.batch_size, shuffle=shuffle,
-                            num_workers=0, seed=seed + epoch)
-        return [dict((k, jnp.asarray(v)) for k, v in b.items())
-                for b in loader]
+        pools, so the compiled train/rollout programs are reused. With
+        ``mixture=True`` every sample draws its own (t, r) amplitude pair
+        from T_MIX x R_MIX (mixed WITHIN each batch)."""
+        if not mixture:
+            ds = SyntheticDataset(scaled_cfg(scale), length=length,
+                                  seed=seed, fps_fn=fps_fn, nn_fn=nn_fn,
+                                  scene=args.scene)
+            ds.set_epoch(epoch)
+            loader = DataLoader(ds, args.batch_size, shuffle=shuffle,
+                                num_workers=0, seed=seed + epoch)
+            return [dict((k, jnp.asarray(v)) for k, v in b.items())
+                    for b in loader]
+        rng = np.random.default_rng((seed, epoch, 77))
+        samples = []
+        for i in range(length):
+            t_s = float(rng.choice(T_MIX))
+            r_s = float(rng.choice(R_MIX))
+            ds = SyntheticDataset(scaled_cfg(t_s, r_s), length=length,
+                                  seed=seed, fps_fn=fps_fn, nn_fn=nn_fn,
+                                  scene=args.scene)
+            ds.set_epoch(epoch)
+            samples.append(ds[i])
+        order = rng.permutation(length) if shuffle else np.arange(length)
+        bs = args.batch_size
+        return [dict((k, jnp.asarray(v)) for k, v in
+                     collate([samples[j] for j in order[s:s + bs]]).items())
+                for s in range(0, length - bs + 1, bs)]
 
     # ---- stage 1: geo model ----
-    batches = make_pool(args.pool_size, seed=0)
+    batches = make_pool(args.pool_size, seed=0, mixture=args.amp_mixture)
     # held-out validation pool: full amplitude always, disjoint seed
     val_batches = (make_pool(args.val_size, seed=7919, shuffle=False)
                    if args.val_size > 0 else None)
@@ -148,7 +198,8 @@ def main(argv=None):
         if (args.geo_refresh_every and i > 0
                 and i % args.geo_refresh_every == 0):
             batches = make_pool(args.pool_size, seed=0,
-                                epoch=i // args.geo_refresh_every)
+                                epoch=i // args.geo_refresh_every,
+                                mixture=args.amp_mixture)
         geo_state, metrics = geo_step(geo_state, batches[i % len(batches)],
                                       jax.random.key(i))
         losses.append(float(metrics["loss"]))
@@ -189,13 +240,19 @@ def main(argv=None):
     buffer = TrajectoryBuffer(cfg.gamma, cfg.gae_lambda)
     rng = np.random.default_rng(0)
 
-    def eval_agent(state):
+    def eval_agent(state, detail: bool = False):
         rte_all, rre_all = [], []
         for batch in (val_batches if val_batches is not None else batches):
             geo_out = fwd(geo_state.params, geo_state.batch_stats, batch)
             _, rte, rre = val(state, geo_out, batch)
             rte_all += np.asarray(rte).tolist()
             rre_all += np.asarray(rre).tolist()
+        if detail:
+            rte_a, rre_a = np.asarray(rte_all), np.asarray(rre_all)
+            solved = int(((rre_a < 10.0) & (rte_a < 5.0)).sum())
+            print(f"[val-detail] solved(RR thresholds) {solved}/{len(rte_a)}"
+                  f"  median RTE {np.median(rte_a):.2f}"
+                  f"  median RRE {np.median(rre_a):.2f}", flush=True)
         return float(np.mean(rte_all)), float(np.mean(rre_all))
 
     # Best-validation selection over the run, like the reference's
@@ -218,10 +275,11 @@ def main(argv=None):
     for i in range(args.agent_steps):
         if args.refresh_every and i % args.refresh_every == 0:
             # agent-stage pools: own seed stream (disjoint from geo's),
-            # fresh scenes + perturbations, curriculum-scaled amplitude
+            # fresh scenes + perturbations, curriculum- or mixture-scaled
             batches = make_pool(args.pool_size, seed=1000,
                                 epoch=i // args.refresh_every,
-                                scale=cur_scale(i))
+                                scale=cur_scale(i),
+                                mixture=args.amp_mixture)
         batch = batches[i % len(batches)]
         geo_out = fwd(geo_state.params, geo_state.batch_stats, batch)
         traj, _, _ = rollout(agent_state, geo_out, batch, jax.random.key(i))
@@ -290,8 +348,8 @@ def main(argv=None):
 
     u_agree = eval_agreement(untrained)
     t_agree = eval_agreement(agent_state)
-    u_rte, u_rre = eval_agent(untrained)
-    t_rte, t_rre = eval_agent(agent_state)
+    u_rte, u_rre = eval_agent(untrained, detail=True)
+    t_rte, t_rre = eval_agent(agent_state, detail=True)
     e_rte, e_rre = eval_expert()
     print("\n                 expert-agreement   RTE (m)   RRE (deg)")
     print(f"untrained agent        {u_agree:6.1%}   {u_rte:8.3f} {u_rre:10.3f}")

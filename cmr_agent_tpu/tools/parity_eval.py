@@ -344,9 +344,27 @@ def main(argv=None):
 
     tmpdir = None
     if args.dry_run:
-        cfg = Config(name="kitti", seed=PROTOCOL_SEED, **DRY_DIMS)
+        # dry-run honours --dataset too: the nuscenes pair differs in crop
+        # width (320 px -> 40x80 fused map), so both sides must shrink from
+        # the SAME base config
+        if args.dataset == "nuscenes":
+            import dataclasses
+            # The reference's released MultiHeadModel hardcodes the KITTI
+            # 40x128 fused map (MultiHeadModel.py:206-207,307-308,340) and
+            # CRASHES at NuScenes' 320-px crop (40x80) — the authors must
+            # have edited those literals per dataset. The dry run therefore
+            # exercises the NuScenesConfiguration routing at the KITTI map
+            # geometry; a real-artifact NuScenes run needs the artifact's
+            # actual training dims anyway.
+            cfg = dataclasses.replace(nuscenes_config(seed=PROTOCOL_SEED),
+                                      cropped_img_w=512, **DRY_DIMS)
+        else:
+            cfg = Config(name="kitti", seed=PROTOCOL_SEED, **DRY_DIMS)
+        rcfg = _build_reference_config(dry_run=True, dataset=args.dataset)
+        if args.dataset == "nuscenes":
+            rcfg.cropped_img_W = 512
+            rcfg.image_W = 128      # NuScenesConfig.py:56-57 derives in init
         args.dataset = "synthetic"
-        rcfg = _build_reference_config(dry_run=True)
         tmpdir = tempfile.mkdtemp(prefix="cmr_parity_")
         args.geo_ckpt, args.agent_ckpt = fabricate_reference_checkpoints(
             rcfg, tmpdir)

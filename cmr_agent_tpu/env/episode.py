@@ -41,6 +41,7 @@ def run_episode(
     collect_trajectory: bool = False,
     reward_apply_pose: bool = True,
     raster_topk: Optional[int] = None,
+    expert_beta: Optional[jnp.ndarray] = None,
 ):
     """Run a K-step registration episode on device.
 
@@ -62,6 +63,17 @@ def run_episode(
       raster_topk: if set, compact the 2-D observation rasterisation to the
         top-K overlap points once for the whole episode (the overlap mask is
         step-invariant) — exact when the overlap count <= K.
+      expert_beta: optional traced scalar in [0, 1] — DAgger scheduled
+        sampling: each (sample, step) takes the EXPERT action instead of
+        the sampled policy action with this probability. The recorded
+        ``action_r/t`` and ``action_logprob`` describe the action actually
+        taken (policy log-prob of it), so BC stays exact DAgger and the
+        PPO ratio is an ordinary clipped off-policy correction. The
+        reference trains pure on-policy (Train_Agent.py:252-311), which at
+        the full ±10 m/±π protocol parks rollouts in far states whose
+        expert labels are all saturated max-steps; β annealed 1→0 visits
+        the expert's own state distribution first. Requires
+        ``with_expert=True``; ``None`` disables (no extra ops traced).
 
     Returns:
       ``(final_pose [B,4,4], trajectory dict or None)``. Trajectory tensors
@@ -101,6 +113,13 @@ def run_episode(
         new_key, sub = jax.random.split(carry.key)
         action_r, action_t = action_from_logits(
             r_logits, t_logits, key=sub, deterministic=deterministic)
+        if expert_beta is not None:
+            assert with_expert, "expert_beta needs expert actions"
+            new_key, bsub = jax.random.split(new_key)
+            mix = (jax.random.uniform(bsub, (action_r.shape[0], 1))
+                   < expert_beta)
+            action_r = jnp.where(mix, exp_r, action_r)
+            action_t = jnp.where(mix, exp_t, action_t)
 
         new_pose = apply_action(action_r, action_t, pose, r_steps, t_steps,
                                 cfg.is_6_dof)

@@ -69,12 +69,16 @@ def _episode_state(geo_out: Dict, batch: Dict) -> Dict:
 def make_rollout_fn(cfg: Config, reward_apply_pose: bool = True):
     """Jitted stochastic rollout with expert labels.
 
-    ``(agent_state, geo_out, batch, key) -> (trajectory, final_pose,
-    pose_target)``; the agent runs in eval mode during rollout (reference
-    keeps ``agent.eval()``, Train_Agent.py:156).
+    ``(agent_state, geo_out, batch, key[, expert_beta]) -> (trajectory,
+    final_pose, pose_target)``; the agent runs in eval mode during rollout
+    (reference keeps ``agent.eval()``, Train_Agent.py:156). The optional
+    ``expert_beta`` scalar enables DAgger scheduled sampling (see
+    :func:`cmr_agent_tpu.env.run_episode`); pass a jnp scalar so annealing
+    it does not retrace.
     """
 
-    def rollout(agent_state: AgentTrainState, geo_out, batch, key):
+    def rollout(agent_state: AgentTrainState, geo_out, batch, key,
+                expert_beta=None):
         state = _episode_state(geo_out, batch)
         pose_src, pose_tgt = init_poses(state)
         pose_tgt = to_disentangled(pose_tgt, state["pc"])
@@ -89,7 +93,7 @@ def make_rollout_fn(cfg: Config, reward_apply_pose: bool = True):
             apply_fn, avars, state, pose_src, pose_tgt, cfg,
             deterministic=False, key=key, with_expert=True,
             collect_trajectory=True, reward_apply_pose=reward_apply_pose,
-            raster_topk=topk)
+            raster_topk=topk, expert_beta=expert_beta)
         return traj, final, pose_tgt
 
     return jax.jit(rollout)

@@ -97,6 +97,19 @@ def main(argv=None):
                         "to the initial error); a larger entropy bonus "
                         "keeps rotation exploration alive long enough for "
                         "the PPO term to reward committed rotation")
+    p.add_argument("--expert-beta-frac", type=float, default=0.0,
+                   help="DAgger scheduled sampling: rollouts take the "
+                        "EXPERT action with probability beta, annealed "
+                        "1->0 over this fraction of agent steps. The "
+                        "reference's pure on-policy BC (beta=0) parks "
+                        "early rollouts in far states whose labels are "
+                        "all saturated max-steps — at the full +-10 m/"
+                        "+-pi protocol it never recovers (round-3 runs A/"
+                        "B). beta-annealing visits the expert's own "
+                        "state distribution first, then hands over")
+    p.add_argument("--alpha", type=float, default=None,
+                   help="override cfg.alpha (PPO weight vs BC); 0 = pure "
+                        "behaviour cloning")
     p.add_argument("--val-every", type=int, default=0,
                    help="validate (and consider a best snapshot) every N "
                         "agent steps; 0 = max(10, agent_steps/8)")
@@ -113,6 +126,8 @@ def main(argv=None):
         amp.update(p_ry_amplitude=args.r_amp)
     if args.w_entropy is not None:
         amp.update(w_entropy=args.w_entropy)
+    if args.alpha is not None:
+        amp.update(alpha=args.alpha)
 
     fps_fn = nn_fn = None
     if args.full:
@@ -282,7 +297,14 @@ def main(argv=None):
                                 mixture=args.amp_mixture)
         batch = batches[i % len(batches)]
         geo_out = fwd(geo_state.params, geo_state.batch_stats, batch)
-        traj, _, _ = rollout(agent_state, geo_out, batch, jax.random.key(i))
+        if args.expert_beta_frac > 0:
+            ramp = max(1.0, args.expert_beta_frac * args.agent_steps)
+            beta = jnp.asarray(max(0.0, 1.0 - i / ramp), jnp.float32)
+            traj, _, _ = rollout(agent_state, geo_out, batch,
+                                 jax.random.key(i), beta)
+        else:
+            traj, _, _ = rollout(agent_state, geo_out, batch,
+                                 jax.random.key(i))
         buffer.add(traj)
         if len(buffer) == cfg.num_trajectory:
             samples = buffer.samples()

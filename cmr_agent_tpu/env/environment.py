@@ -70,7 +70,7 @@ def compact_observation_state(state, k: int):
 
 
 def observation_from_pose(feats, pose, image_h: int, image_w: int,
-                          use_pallas=None):
+                          use_pallas=None, raster_dtype=None):
     """Render the 2-D and 3-D observations under the current pose estimate.
 
     Args:
@@ -111,7 +111,8 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int,
         pix = yi * image_w + xi
         proj_feat = scatter_mean_image(r_feat, pix, r_valid,
                                        image_h, image_w,
-                                       use_pallas=use_pallas)
+                                       use_pallas=use_pallas,
+                                       compute_dtype=raster_dtype)
         _, in_cam = project(pc)  # full-cloud frustum flags for the 3-D obs
     else:
         proj, in_cam = project(pc)
@@ -121,7 +122,8 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int,
         valid = in_cam & overlap
         proj_feat = scatter_mean_image(feats["pc_geo_feat"], pix, valid,
                                        image_h, image_w,
-                                       use_pallas=use_pallas)
+                                       use_pallas=use_pallas,
+                                       compute_dtype=raster_dtype)
 
     observation_2d = jnp.concatenate([feats["img_geo_feat"], proj_feat],
                                      axis=-1)

@@ -105,9 +105,14 @@ def run_episode(
         else:
             exp_r = exp_t = None
 
+        # bf16 episodes run the raster's one-hot matmul in bf16 too (f32
+        # accumulation; the agent consumes the observation in bf16 anyway)
+        raster_dtype = (jnp.bfloat16
+                        if cfg.compute_dtype == "bfloat16" else None)
         obs2d, obs3d = observation_from_pose(state, pose,
                                              cfg.image_h, cfg.image_w,
-                                             use_pallas=cfg.use_pallas)
+                                             use_pallas=cfg.use_pallas,
+                                             raster_dtype=raster_dtype)
         r_logits, t_logits, value = agent_apply(agent_vars, obs2d, obs3d)
 
         new_key, sub = jax.random.split(carry.key)

@@ -107,6 +107,13 @@ def main(argv=None):
                         "+-pi protocol it never recovers (round-3 runs A/"
                         "B). beta-annealing visits the expert's own "
                         "state distribution first, then hands over")
+    p.add_argument("--expert-beta-floor", type=float, default=0.0,
+                   help="lower bound for the annealed expert beta: keep "
+                        "this fraction of expert actions in rollouts for "
+                        "the whole run, so the buffer never loses the "
+                        "expert's state distribution (round-3 run D: full "
+                        "anneal to 0 let the on-policy phase re-collapse "
+                        "onto the max-step action marginal)")
     p.add_argument("--alpha", type=float, default=None,
                    help="override cfg.alpha (PPO weight vs BC); 0 = pure "
                         "behaviour cloning")
@@ -297,9 +304,10 @@ def main(argv=None):
                                 mixture=args.amp_mixture)
         batch = batches[i % len(batches)]
         geo_out = fwd(geo_state.params, geo_state.batch_stats, batch)
-        if args.expert_beta_frac > 0:
+        if args.expert_beta_frac > 0 or args.expert_beta_floor > 0:
             ramp = max(1.0, args.expert_beta_frac * args.agent_steps)
-            beta = jnp.asarray(max(0.0, 1.0 - i / ramp), jnp.float32)
+            beta = jnp.asarray(max(args.expert_beta_floor, 1.0 - i / ramp),
+                               jnp.float32)
             traj, _, _ = rollout(agent_state, geo_out, batch,
                                  jax.random.key(i), beta)
         else:
@@ -324,8 +332,19 @@ def main(argv=None):
             v_rte, v_rre = eval_agent(agent_state)
             score = v_rre + 2.0 * v_rte
             mark = " *" if score < best_score else ""
+            # per-head expert agreement on one val batch: splits "policy
+            # can't infer rotation" from "can't infer translation" (run D
+            # diverged in translation only; this makes that visible live)
+            vb = (val_batches if val_batches is not None else batches)[0]
+            tr, _, _ = rollout_det(
+                agent_state, fwd(geo_state.params, geo_state.batch_stats,
+                                 vb), vb)
+            ag_r = float((np.asarray(tr["action_r"])
+                          == np.asarray(tr["expert_action_r"])).mean())
+            ag_t = float((np.asarray(tr["action_t"])
+                          == np.asarray(tr["expert_action_t"])).mean())
             print(f"[agent] step {i:3d} val RTE {v_rte:.3f} RRE {v_rre:.3f}"
-                  f"{mark}", flush=True)
+                  f" agree r {ag_r:.2f} t {ag_t:.2f}{mark}", flush=True)
             if score < best_score:
                 best_score = score
                 # snapshot params AND BatchNorm running stats: the eval

@@ -174,15 +174,16 @@ def main():
 
     if tpu_devices:
         dev = tpu_devices[0]
+        bsz = 8
         rates, tpu_compile, cost = time_backend(
-            dev, cfg, batch_size=8, iters=10, warmup=3, repeats=5)
+            dev, cfg, batch_size=bsz, iters=10, warmup=3, repeats=5)
         tpu_rate = float(np.median(rates))
         log(f"TPU ({dtype}, {dev.device_kind!r}): median {tpu_rate:.3f} "
             f"pairs/s over {len(rates)} blocks "
             f"[{min(rates):.1f}..{max(rates):.1f}] "
             f"(compile {tpu_compile:.1f}s)")
         if cost and cost.get("flops"):
-            flops = float(cost["flops"]) / 8          # per pair
+            flops = float(cost["flops"]) / bsz        # per pair
             achieved = flops * tpu_rate
             peak = peak_flops_for(dev)
             mfu = f", MFU {100 * achieved / peak:.1f}% of " \
@@ -192,8 +193,8 @@ def main():
                 f"{achieved / 1e12:.2f} TFLOP/s{mfu}")
             ba = cost.get("bytes accessed")
             if ba:
-                log(f"HBM traffic model: {float(ba) / 8 / 1e6:.1f} MB/pair "
-                    f"-> {float(ba) / 8 * tpu_rate / 1e9:.0f} GB/s achieved")
+                log(f"HBM traffic model: {float(ba) / bsz / 1e6:.1f} MB/pair "
+                    f"-> {float(ba) / bsz * tpu_rate / 1e9:.0f} GB/s achieved")
     else:
         rates, tpu_compile, _ = time_backend(
             cpu_devices[0], cfg, batch_size=2, iters=2, warmup=1)

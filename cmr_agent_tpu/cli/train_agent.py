@@ -126,7 +126,21 @@ def main(argv=None):
         nonlocal agent_state
         buffer = TrajectoryBuffer(cfg.gamma, cfg.gae_lambda)
         best_r, best_t = np.inf, np.inf
-        global_step = 0
+        # Continue the rollout counter from a resumed state: the DAgger
+        # beta anneal, the per-step rollout rng stream and checkpoint names
+        # are all driven by it — restarting at 0 would silently rewind beta
+        # to 1.0 (fully expert rollouts) after --resume. TrainState.step
+        # counts OPTIMIZER updates (several per buffer flush), so convert:
+        # every cfg.num_trajectory rollouts flush n flattened samples into
+        # n // ppo_batch_size updates (exact up to the partial window in
+        # flight at checkpoint time, < num_trajectory rollouts off).
+        n_flush = cfg.num_trajectory * cfg.train_batch_size * cfg.action_num
+        upd_per_flush = max(1, n_flush // cfg.ppo_batch_size)
+        global_step = (int(agent_state.step) + upd_per_flush - 1) \
+            // upd_per_flush * cfg.num_trajectory
+        if global_step:
+            print(f"resume: continuing at rollout step ~{global_step} "
+                  f"(optimizer step {int(agent_state.step)})")
         rng = np.random.default_rng(cfg.seed)
 
         for epoch in range(cfg.epoch):

@@ -55,10 +55,11 @@ def main(argv=None):
                              steps_per_epoch=max(len(train_loader), 1))
     if args.resume:
         state, opt_restored = restore_train_checkpoint(args.resume, state)
+        opt_msg = ("restored" if opt_restored else
+                   "RESET — legacy model-only checkpoint; Adam moments and "
+                   "schedule position start fresh")
         print(f"resumed from {args.resume} at step {int(state.step)} "
-              f"(optimizer state {'restored' if opt_restored else 'RESET — '
-              'legacy model-only checkpoint; Adam moments and schedule '
-              'position start fresh'})")
+              f"(optimizer state {opt_msg})")
     dispatch = max(1, args.steps_per_dispatch)
     if dispatch > 1:
         from ..train import make_geo_multi_step

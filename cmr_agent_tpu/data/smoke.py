@@ -57,6 +57,10 @@ def main(argv=None):
                    "processes" if loader.use_processes else "threads")
         print(f"loader: {loader.num_workers} workers ({backend}), "
               f"batch {cfg.train_batch_size}")
+        if len(loader) == 0:
+            raise SystemExit(
+                f"dataset ({len(ds)} samples) is smaller than one batch "
+                f"({cfg.train_batch_size}, drop_last) — nothing to time")
         it = iter(loader)
         next(it)  # warm-up: pool spin-up + first pipeline pass
         t0 = time.perf_counter()

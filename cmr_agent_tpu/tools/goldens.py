@@ -105,7 +105,11 @@ def load_golden_as_sample(path: str, nlabel: int = 9):
     pc_cam = g["pc_in_cam_space"].astype(np.float32)      # [3, N]
     K = g["K"].astype(np.float32)
     proj = K @ pc_cam
-    xy_float = (proj[:2] / np.maximum(np.abs(proj[2:3]), 1e-8)
+    # signed-z division, matching data/pipeline.py:project_and_masks —
+    # behind-camera points (z<0, masked out by pc_mask downstream) keep
+    # the same sign-flipped projections a pipeline sample would carry
+    z = proj[2:3]
+    xy_float = (proj[:2] / np.where(np.abs(z) < 1e-12, 1e-12, z)
                 ).astype(np.float32)                       # [2, N]
 
     angles = g["angles"].astype(np.float32)

@@ -164,15 +164,18 @@ def run_ours(cfg, geo_ckpt: str, agent_ckpt: str, samples):
 # reference side
 # --------------------------------------------------------------------------
 
-def _build_reference_config(dry_run: bool, dataset: str = "kitti"):
+def _build_reference_config(dry_run: bool, dataset: str = "kitti",
+                            data_root: str = "/nonexistent"):
+    """``data_root`` must be the real dataset root when the reference
+    loader runs (``--reference-loader``); dry runs never touch it."""
     import importlib
 
     if dataset == "nuscenes":
         cfg_mod = importlib.import_module("config.NuScenesConfig")
-        rcfg = cfg_mod.NuScenesConfiguration("/nonexistent")
+        rcfg = cfg_mod.NuScenesConfiguration(data_root)
     else:
         cfg_mod = importlib.import_module("config.KittiConfig")
-        rcfg = cfg_mod.KittiConfiguration("/nonexistent")
+        rcfg = cfg_mod.KittiConfiguration(data_root)
     if dry_run:
         for k, v in DRY_DIMS.items():
             if hasattr(rcfg, k):
@@ -375,7 +378,8 @@ def main(argv=None):
                     "(or use --dry-run)")
         make = nuscenes_config if args.dataset == "nuscenes" else kitti_config
         cfg = make(args.data_root, seed=PROTOCOL_SEED)
-        rcfg = _build_reference_config(dry_run=False, dataset=args.dataset)
+        rcfg = _build_reference_config(dry_run=False, dataset=args.dataset,
+                                       data_root=args.data_root)
 
     samples = list(iter_samples(args, cfg))
     print(f"protocol: {len(samples)} samples, seed {PROTOCOL_SEED}, bs 1, "

@@ -71,7 +71,15 @@ def restore_train_checkpoint(path: str, state: Any):
     tpl = {"params": state.params, "batch_stats": state.batch_stats,
            "step": state.step}
     model_path = model_tree_path(path)
-    m = restore_checkpoint(model_path, template=tpl)
+    try:
+        m = restore_checkpoint(model_path, template=tpl)
+    except Exception:
+        # legacy flat checkpoints saved without a step leaf (pre-round-3
+        # train_iter): retry with a model-only template, step stays fresh
+        m = restore_checkpoint(model_path,
+                               template={"params": state.params,
+                                         "batch_stats": state.batch_stats})
+        m["step"] = state.step
     state = state.replace(params=m["params"], batch_stats=m["batch_stats"],
                           step=m["step"])
     opt_path = os.path.join(path, "opt")

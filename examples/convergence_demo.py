@@ -305,8 +305,12 @@ def main(argv=None):
         batch = batches[i % len(batches)]
         geo_out = fwd(geo_state.params, geo_state.batch_stats, batch)
         if args.expert_beta_frac > 0 or args.expert_beta_floor > 0:
-            ramp = max(1.0, args.expert_beta_frac * args.agent_steps)
-            beta = jnp.asarray(max(args.expert_beta_floor, 1.0 - i / ramp),
+            if args.expert_beta_frac > 0:
+                ramp = args.expert_beta_frac * args.agent_steps
+                annealed = 1.0 - i / max(1.0, ramp)
+            else:           # floor-only: constant mixing from step 0
+                annealed = 0.0
+            beta = jnp.asarray(max(args.expert_beta_floor, annealed),
                                jnp.float32)
             traj, _, _ = rollout(agent_state, geo_out, batch,
                                  jax.random.key(i), beta)

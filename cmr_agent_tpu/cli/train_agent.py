@@ -35,6 +35,24 @@ from .common import (add_common_args, build_config, build_dataset,
                      make_loader, maybe_initialize_distributed, set_seed)
 
 
+def resume_rollout_step(cfg, opt_step: int) -> int:
+    """Rollout counter to continue from after ``--resume``.
+
+    The DAgger beta anneal, the per-step rollout rng stream and checkpoint
+    names are all driven by the rollout counter — restarting it at 0 would
+    silently rewind beta to 1.0 (fully expert rollouts). TrainState.step
+    counts OPTIMIZER updates (several per buffer flush), so convert: every
+    ``cfg.num_trajectory`` rollouts flush ``num_trajectory * train_batch_size
+    * action_num`` flattened samples into ``n // ppo_batch_size`` updates
+    (exact up to the partial window in flight at checkpoint time,
+    < ``num_trajectory`` rollouts off).
+    """
+    n_flush = cfg.num_trajectory * cfg.train_batch_size * cfg.action_num
+    upd_per_flush = max(1, n_flush // cfg.ppo_batch_size)
+    return (opt_step + upd_per_flush - 1) // upd_per_flush \
+        * cfg.num_trajectory
+
+
 def load_geo_variables(cfg, args, example_batch):
     """Init geo variables, then load a checkpoint (orbax dir or torch .pth)."""
     model = MultiHeadModel(cfg)
@@ -126,18 +144,7 @@ def main(argv=None):
         nonlocal agent_state
         buffer = TrajectoryBuffer(cfg.gamma, cfg.gae_lambda)
         best_r, best_t = np.inf, np.inf
-        # Continue the rollout counter from a resumed state: the DAgger
-        # beta anneal, the per-step rollout rng stream and checkpoint names
-        # are all driven by it — restarting at 0 would silently rewind beta
-        # to 1.0 (fully expert rollouts) after --resume. TrainState.step
-        # counts OPTIMIZER updates (several per buffer flush), so convert:
-        # every cfg.num_trajectory rollouts flush n flattened samples into
-        # n // ppo_batch_size updates (exact up to the partial window in
-        # flight at checkpoint time, < num_trajectory rollouts off).
-        n_flush = cfg.num_trajectory * cfg.train_batch_size * cfg.action_num
-        upd_per_flush = max(1, n_flush // cfg.ppo_batch_size)
-        global_step = (int(agent_state.step) + upd_per_flush - 1) \
-            // upd_per_flush * cfg.num_trajectory
+        global_step = resume_rollout_step(cfg, int(agent_state.step))
         if global_step:
             print(f"resume: continuing at rollout step ~{global_step} "
                   f"(optimizer step {int(agent_state.step)})")

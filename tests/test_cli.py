@@ -85,6 +85,24 @@ def test_make_loader_worker_policy(monkeypatch):
     assert ld.num_workers == 0
 
 
+def test_resume_rollout_step_arithmetic():
+    """--resume must continue the rollout counter (DAgger beta anneal, rng
+    stream), converting optimizer updates back to rollout steps."""
+    from cmr_agent_tpu.cli.train_agent import resume_rollout_step
+    from cmr_agent_tpu.config import micro_config
+
+    cfg = micro_config()
+    assert resume_rollout_step(cfg, 0) == 0          # fresh start untouched
+    n_flush = cfg.num_trajectory * cfg.train_batch_size * cfg.action_num
+    upd = max(1, n_flush // cfg.ppo_batch_size)
+    # exactly k flushes of updates -> k * num_trajectory rollouts
+    for k in (1, 2, 5):
+        assert resume_rollout_step(cfg, k * upd) == k * cfg.num_trajectory
+    # a partial flush rounds UP to the next flush boundary (never rewinds
+    # beta below where the checkpointed run had annealed it to)
+    assert resume_rollout_step(cfg, upd + 1) == 2 * cfg.num_trajectory
+
+
 def test_enable_compile_cache_policy(monkeypatch):
     import jax
     from cmr_agent_tpu.cli.common import enable_compile_cache

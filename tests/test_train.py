@@ -160,6 +160,19 @@ def test_kill_restart_resume_bitexact(tmp_path):
     assert not opt_restored2
     assert int(restored2.step) == int(resumed.step)
 
+    # even older flat checkpoints carry no step leaf at all (pre-round-3
+    # train_iter): weights restore, step stays at the fresh state's value
+    stepless = os.path.join(str(tmp_path), "stepless_ckpt")
+    save_checkpoint(stepless, {"params": resumed.params,
+                               "batch_stats": resumed.batch_stats})
+    fresh3 = create_geo_state(CFG, batch, jax.random.key(8))
+    restored3, opt_restored3 = restore_train_checkpoint(stepless, fresh3)
+    assert not opt_restored3
+    assert int(restored3.step) == 0
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(restored3.params)[0]),
+        np.asarray(jax.tree.leaves(resumed.params)[0]))
+
 
 def test_metric_logger(tmp_path):
     logger = MetricLogger(logdir=None)

@@ -43,10 +43,17 @@ def main(argv=None):
     p.add_argument("--save-mat", default="",
                    help="dump per-episode timings to a .mat file "
                         "(reference Test_Agent.py:196 parity)")
+    p.add_argument("--pose-aware", action="store_true",
+                   help="evaluate with the pose-aware 3-D observation — "
+                        "REQUIRED for agents trained with it "
+                        "(Config.pose_aware_observation)")
     args = p.parse_args(argv)
     maybe_initialize_distributed(args)
 
     cfg = build_config(args)
+    if args.pose_aware:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, pose_aware_observation=True)
     set_seed(cfg.seed)
 
     test_ds = build_dataset(cfg, args, "test")

@@ -100,10 +100,18 @@ def main(argv=None):
                         "full perturbation amplitude parks early rollouts "
                         "in states whose labels are all saturated "
                         "max-steps (docs/CONVERGENCE.md)")
+    p.add_argument("--pose-aware", action="store_true",
+                   help="pose-aware 3-D observation: the point branch sees "
+                        "the cloud under the CURRENT pose estimate instead "
+                        "of the reference's static cloud (see "
+                        "Config.pose_aware_observation)")
     args = p.parse_args(argv)
     maybe_initialize_distributed(args)
 
     cfg = build_config(args)
+    if args.pose_aware:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, pose_aware_observation=True)
     set_seed(cfg.seed)
 
     train_ds = build_dataset(cfg, args, "train")

@@ -125,6 +125,17 @@ class Config:
     # Episode observation: compact rasterisation to top-K overlap points
     # (exact while overlap count <= K; 0 disables). Halves the hot kernel.
     raster_topk: int = 20480
+    # Pose-aware 3-D observation: feed the agent's point branch the cloud
+    # TRANSFORMED by the current pose estimate instead of the reference's
+    # static cloud (environment.py:125). With the static cloud, pose
+    # feedback reaches the policy only through the overlap/in-cam flags and
+    # the 2-D raster — when a large yaw error empties the frustum,
+    # consecutive observations are identical and a deterministic policy
+    # must repeat its action, which is the translation-runaway failure of
+    # the full-amplitude protocol on synthetic scenes (docs/CONVERGENCE.md).
+    # The moved cloud is a strict information upgrade (same 5 channels) and
+    # changes every step. Off by default: parity with the reference.
+    pose_aware_observation: bool = False
 
     # <----------- derived geometry ---------->
     @property

@@ -70,7 +70,8 @@ def compact_observation_state(state, k: int):
 
 
 def observation_from_pose(feats, pose, image_h: int, image_w: int,
-                          use_pallas=None, raster_dtype=None):
+                          use_pallas=None, raster_dtype=None,
+                          pose_aware: bool = False):
     """Render the 2-D and 3-D observations under the current pose estimate.
 
     Args:
@@ -78,6 +79,9 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int,
         ``pc_overlap_pred [B,N]`` bool, ``pc_geo_feat [B,N,F]``,
         ``img_geo_feat [B,H,W,F]``.
       pose: ``[B,4,4]`` disentangled pose estimate.
+      pose_aware: feed the 3-D observation the cloud transformed by the
+        current estimate instead of the reference's static cloud
+        (``cfg.pose_aware_observation`` — see the config comment for why).
 
     Returns:
       ``(observation_2d [B,H,W,2F], observation_3d [B,N,5])``.
@@ -92,7 +96,7 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int,
     def project(points):
         moved = transform_points_disentangled(points, R, t)
         proj = project_points(moved, K)
-        return proj, frustum_mask(proj, w=image_w, h=image_h)
+        return moved, proj, frustum_mask(proj, w=image_w, h=image_h)
 
     # Disentangled transforms rotate about the FULL cloud centroid
     # (environment.py:46,54): compacted points must reuse it.
@@ -113,9 +117,10 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int,
                                        image_h, image_w,
                                        use_pallas=use_pallas,
                                        compute_dtype=raster_dtype)
-        _, in_cam = project(pc)  # full-cloud frustum flags for the 3-D obs
+        # full-cloud frustum flags (and moved cloud) for the 3-D obs
+        moved_full, _, in_cam = project(pc)
     else:
-        proj, in_cam = project(pc)
+        moved_full, proj, in_cam = project(pc)
         xi = jnp.round(proj[..., 0]).astype(jnp.int32)
         yi = jnp.round(proj[..., 1]).astype(jnp.int32)
         pix = yi * image_w + xi
@@ -127,8 +132,9 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int,
 
     observation_2d = jnp.concatenate([feats["img_geo_feat"], proj_feat],
                                      axis=-1)
+    obs_pc = moved_full if pose_aware else pc
     observation_3d = jnp.concatenate(
-        [pc, overlap[..., None].astype(pc.dtype),
+        [obs_pc, overlap[..., None].astype(pc.dtype),
          in_cam[..., None].astype(pc.dtype)], axis=-1)
     return observation_2d, observation_3d
 

@@ -109,10 +109,10 @@ def run_episode(
         # accumulation; the agent consumes the observation in bf16 anyway)
         raster_dtype = (jnp.bfloat16
                         if cfg.compute_dtype == "bfloat16" else None)
-        obs2d, obs3d = observation_from_pose(state, pose,
-                                             cfg.image_h, cfg.image_w,
-                                             use_pallas=cfg.use_pallas,
-                                             raster_dtype=raster_dtype)
+        obs2d, obs3d = observation_from_pose(
+            state, pose, cfg.image_h, cfg.image_w,
+            use_pallas=cfg.use_pallas, raster_dtype=raster_dtype,
+            pose_aware=cfg.pose_aware_observation)
         r_logits, t_logits, value = agent_apply(agent_vars, obs2d, obs3d)
 
         new_key, sub = jax.random.split(carry.key)

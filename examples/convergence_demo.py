@@ -117,6 +117,13 @@ def main(argv=None):
     p.add_argument("--alpha", type=float, default=None,
                    help="override cfg.alpha (PPO weight vs BC); 0 = pure "
                         "behaviour cloning")
+    p.add_argument("--pose-aware", action="store_true",
+                   help="pose-aware 3-D observation (Config."
+                        "pose_aware_observation): the point branch sees the "
+                        "cloud under the current estimate, so consecutive "
+                        "observations differ even when a large yaw error "
+                        "empties the raster — the repeat-action translation "
+                        "runaway of runs D/E cannot occur")
     p.add_argument("--val-every", type=int, default=0,
                    help="validate (and consider a best snapshot) every N "
                         "agent steps; 0 = max(10, agent_steps/8)")
@@ -135,6 +142,8 @@ def main(argv=None):
         amp.update(w_entropy=args.w_entropy)
     if args.alpha is not None:
         amp.update(alpha=args.alpha)
+    if args.pose_aware:
+        amp.update(pose_aware_observation=True)
 
     fps_fn = nn_fn = None
     if args.full:

@@ -149,6 +149,52 @@ def test_observation_matches_loop_oracle():
     np.testing.assert_allclose(np.asarray(got3d), want3d, atol=1e-6)
 
 
+def test_pose_aware_observation():
+    """Config.pose_aware_observation: the 3-D observation's coordinate
+    channels carry the cloud under the CURRENT estimate; flags and the 2-D
+    raster are identical to the reference-parity static observation, and at
+    identity pose the two modes coincide."""
+    from cmr_agent_tpu.ops import transform_points_disentangled
+
+    rng = np.random.default_rng(5)
+    B, N, F, h, w = 2, 150, 4, 6, 10
+    K = np.array([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]], np.float32)
+    state = {
+        "pc": rng.normal(size=(B, N, 3)).astype(np.float32) * 2
+              + np.array([0, 0, 6], np.float32),
+        "K": np.tile(K, (B, 1, 1)),
+        "pc_overlap_pred": rng.integers(0, 2, size=(B, N)).astype(bool),
+        "pc_geo_feat": rng.normal(size=(B, N, F)).astype(np.float32),
+        "img_geo_feat": rng.normal(size=(B, h, w, F)).astype(np.float32),
+    }
+    jstate = {k: jnp.array(v) for k, v in state.items()}
+    angles = rng.uniform(-0.4, 0.4, size=(B, 3))
+    R = Rotation.from_euler("xyz", angles).as_matrix().astype(np.float32)
+    t = rng.uniform(-0.5, 0.5, size=(B, 3)).astype(np.float32)
+    pose = jnp.array(np.asarray(make_se3(jnp.array(R), jnp.array(t))))
+
+    ref2d, ref3d = observation_from_pose(jstate, pose, h, w)
+    got2d, got3d = observation_from_pose(jstate, pose, h, w,
+                                         pose_aware=True)
+    np.testing.assert_array_equal(np.asarray(got2d), np.asarray(ref2d))
+    # flags unchanged; coordinates are the moved cloud
+    np.testing.assert_array_equal(np.asarray(got3d[..., 3:]),
+                                  np.asarray(ref3d[..., 3:]))
+    moved = transform_points_disentangled(jstate["pc"], pose[:, :3, :3],
+                                          pose[:, :3, 3])
+    np.testing.assert_allclose(np.asarray(got3d[..., :3]),
+                               np.asarray(moved), atol=1e-6)
+    assert np.abs(np.asarray(got3d[..., :3])
+                  - np.asarray(ref3d[..., :3])).max() > 0.1
+
+    eye = jnp.array(np.tile(np.eye(4, dtype=np.float32), (B, 1, 1)))
+    a2d, a3d = observation_from_pose(jstate, eye, h, w, pose_aware=True)
+    b2d, b3d = observation_from_pose(jstate, eye, h, w)
+    # identity transform round-trips through (pc - mean) + mean: equal up
+    # to float association, not bitwise
+    np.testing.assert_allclose(np.asarray(a3d), np.asarray(b3d), atol=1e-5)
+
+
 def test_reward_improves_toward_target():
     rng = np.random.default_rng(3)
     B, N = 2, 100

@@ -124,6 +124,17 @@ def main(argv=None):
                         "observations differ even when a large yaw error "
                         "empties the raster — the repeat-action translation "
                         "runaway of runs D/E cannot occur")
+    p.add_argument("--save-geo", default="",
+                   help="orbax dir to save the stage-1 geo model to (the "
+                        "full-scale geo stage costs ~27 min on one chip; "
+                        "saving it lets ablation runs share it)")
+    p.add_argument("--load-geo", default="",
+                   help="orbax dir to load the geo model from, skipping "
+                        "stage 1 (must match the config's scale)")
+    p.add_argument("--save-agent", default="",
+                   help="orbax dir to save the best-validation agent "
+                        "snapshot to (params + batch_stats), for later "
+                        "evaluation/visualisation")
     p.add_argument("--val-every", type=int, default=0,
                    help="validate (and consider a best snapshot) every N "
                         "agent steps; 0 = max(10, agent_steps/8)")
@@ -225,22 +236,42 @@ def main(argv=None):
     geo_step = make_geo_train_step(cfg)
     t0 = time.time()
     losses = []
-    for i in range(args.geo_steps):
-        if (args.geo_refresh_every and i > 0
-                and i % args.geo_refresh_every == 0):
-            batches = make_pool(args.pool_size, seed=0,
-                                epoch=i // args.geo_refresh_every,
-                                mixture=args.amp_mixture)
-        geo_state, metrics = geo_step(geo_state, batches[i % len(batches)],
-                                      jax.random.key(i))
-        losses.append(float(metrics["loss"]))
-        if i % 10 == 0:
-            print(f"[geo] step {i:3d} loss {losses[-1]:.4f}", flush=True)
-    print(f"[geo] loss {losses[0]:.4f} -> {losses[-1]:.4f} "
-          f"({time.time()-t0:.0f}s)")
-    assert losses[-1] < losses[0]
-    print(f"[geo] overlap acc: pc {float(metrics['pc_overlap_accuracy']):.3f}"
-          f" img {float(metrics['img_overlap_accuracy']):.3f}", flush=True)
+    if args.load_geo:
+        from cmr_agent_tpu.train.checkpoint import restore_checkpoint
+        tpl = {"params": geo_state.params,
+               "batch_stats": geo_state.batch_stats}
+        m = restore_checkpoint(args.load_geo, template=tpl)
+        geo_state = geo_state.replace(params=m["params"],
+                                      batch_stats=m["batch_stats"])
+        losses = [float("nan")]
+        print(f"[geo] loaded from {args.load_geo}, skipping stage 1",
+              flush=True)
+    else:
+        for i in range(args.geo_steps):
+            if (args.geo_refresh_every and i > 0
+                    and i % args.geo_refresh_every == 0):
+                batches = make_pool(args.pool_size, seed=0,
+                                    epoch=i // args.geo_refresh_every,
+                                    mixture=args.amp_mixture)
+            geo_state, metrics = geo_step(geo_state,
+                                          batches[i % len(batches)],
+                                          jax.random.key(i))
+            losses.append(float(metrics["loss"]))
+            if i % 10 == 0:
+                print(f"[geo] step {i:3d} loss {losses[-1]:.4f}", flush=True)
+        print(f"[geo] loss {losses[0]:.4f} -> {losses[-1]:.4f} "
+              f"({time.time()-t0:.0f}s)")
+        assert losses[-1] < losses[0]
+        print(f"[geo] overlap acc: "
+              f"pc {float(metrics['pc_overlap_accuracy']):.3f}"
+              f" img {float(metrics['img_overlap_accuracy']):.3f}",
+              flush=True)
+        if args.save_geo:
+            from cmr_agent_tpu.train.checkpoint import save_checkpoint
+            save_checkpoint(args.save_geo,
+                            {"params": geo_state.params,
+                             "batch_stats": geo_state.batch_stats})
+            print(f"[geo] saved to {args.save_geo}", flush=True)
 
     # ---- stage 2: agent by behaviour cloning ----
     fwd = make_geo_forward(cfg)
@@ -369,6 +400,13 @@ def main(argv=None):
     if best_snap is not None:
         agent_state = agent_state.replace(params=best_snap[0],
                                           batch_stats=best_snap[1])
+    if args.save_agent:
+        from cmr_agent_tpu.train.checkpoint import save_checkpoint
+        save_checkpoint(args.save_agent,
+                        {"params": agent_state.params,
+                         "batch_stats": agent_state.batch_stats})
+        print(f"[agent] best snapshot saved to {args.save_agent}",
+              flush=True)
 
     # ---- evaluation ----
     def eval_agreement(state):

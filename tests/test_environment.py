@@ -313,6 +313,22 @@ def test_run_episode_scan_and_buffer():
     lp = np.asarray(traj_b["action_logprob"])
     assert lp.shape == (k, B, 3) and np.all(lp <= 0)
 
+    # pose-aware episodes: same shapes, and the recorded 3-D observations
+    # differ across steps (the static-cloud parity observation repeats the
+    # coordinate channels identically every step)
+    import dataclasses
+    cfg_pa = dataclasses.replace(cfg, pose_aware_observation=True)
+    final_pa, traj_pa = run_episode(
+        apply_fn, avars, state, pose_src, pose_tgt, cfg_pa,
+        deterministic=False, key=jax.random.key(1), with_expert=True,
+        collect_trajectory=True)
+    assert traj_pa["state_3d"].shape == (k, B, N, 5)
+    assert np.isfinite(np.asarray(final_pa)).all()
+    coords = np.asarray(traj_pa["state_3d"][..., :3])
+    assert np.abs(coords[1] - coords[0]).max() > 1e-4  # pose feedback
+    static_coords = np.asarray(traj["state_3d"][..., :3])
+    np.testing.assert_array_equal(static_coords[1], static_coords[0])
+
 
 def test_discounted_and_gae_match_reference_recursion():
     rng = np.random.default_rng(5)

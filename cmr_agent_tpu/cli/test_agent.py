@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..train import (create_agent_state, make_val_episode_fn,
-                     restore_checkpoint, model_tree_path,
+                     restore_model_variables,
                      registration_metrics, convert_torch_agent)
 from ..train.train_geo import make_geo_forward
 from .common import (add_common_args, build_config, build_dataset,
@@ -76,9 +76,7 @@ def main(argv=None):
         if args.agent_ckpt.endswith(".pth"):
             loaded = convert_torch_agent(cfg, args.agent_ckpt, template)
         else:
-            loaded = restore_checkpoint(
-                model_tree_path(args.agent_ckpt),
-                template=dict(template, step=agent_state.step))
+            loaded = restore_model_variables(args.agent_ckpt, template)
         agent_state = agent_state.replace(params=loaded["params"],
                                           batch_stats=loaded["batch_stats"])
         print(f"loaded agent checkpoint from {args.agent_ckpt}")

@@ -28,7 +28,7 @@ from ..models import MultiHeadModel
 from ..train import (create_agent_state, make_rollout_fn,
                      make_ppo_update_step, make_val_episode_fn,
                      save_train_checkpoint, restore_train_checkpoint,
-                     restore_checkpoint, model_tree_path, MetricLogger,
+                     restore_model_variables, MetricLogger,
                      convert_torch_multihead)
 from ..train.train_geo import make_geo_forward
 from .common import (add_common_args, build_config, build_dataset,
@@ -66,13 +66,9 @@ def load_geo_variables(cfg, args, example_batch):
         if args.geo_ckpt.endswith(".pth"):
             loaded = convert_torch_multihead(cfg, args.geo_ckpt, template)
         else:
-            # orbax template must match the saved model tree, which includes
-            # step; model_tree_path handles both the two-tree train-state
-            # layout (<ckpt>/model) and legacy flat checkpoints
-            import jax.numpy as _jnp
-            loaded = restore_checkpoint(
-                model_tree_path(args.geo_ckpt),
-                template=dict(template, step=_jnp.zeros((), _jnp.int32)))
+            # any orbax layout: two-tree train state, flat-with-step,
+            # or a stepless demo snapshot
+            loaded = restore_model_variables(args.geo_ckpt, template)
         template = {"params": loaded["params"],
                     "batch_stats": loaded["batch_stats"]}
         print(f"loaded geo checkpoint from {args.geo_ckpt}")

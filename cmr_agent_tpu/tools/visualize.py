@@ -226,7 +226,7 @@ def main(argv=None):
         import jax.numpy as jnp
 
         from ..train import (convert_torch_agent, create_agent_state,
-                             model_tree_path, restore_checkpoint)
+                             restore_model_variables)
         from ..cli.train_agent import load_geo_variables
         from ..train.train_geo import make_geo_forward
 
@@ -246,9 +246,7 @@ def main(argv=None):
             if args.agent_ckpt.endswith(".pth"):
                 loaded = convert_torch_agent(cfg, args.agent_ckpt, template)
             else:
-                loaded = restore_checkpoint(
-                    model_tree_path(args.agent_ckpt),
-                    template=dict(template, step=agent_state.step))
+                loaded = restore_model_variables(args.agent_ckpt, template)
             agent_state = agent_state.replace(
                 params=loaded["params"], batch_stats=loaded["batch_stats"])
 

@@ -12,7 +12,8 @@ from .train_agent import (  # noqa: F401
 from .metrics import registration_metrics, MetricLogger  # noqa: F401
 from .checkpoint import (  # noqa: F401
     save_checkpoint, restore_checkpoint, save_train_checkpoint,
-    restore_train_checkpoint, model_tree_path,
+    restore_train_checkpoint, model_tree_path, restore_model_variables,
+    saved_tree_keys,
 )
 from .convert import convert_torch_multihead, convert_torch_agent  # noqa: F401
 from .export import (  # noqa: F401

@@ -62,24 +62,61 @@ def model_tree_path(path: str) -> str:
     return sub if os.path.isdir(sub) else path
 
 
+def saved_tree_keys(path: str) -> frozenset:
+    """Top-level keys of the pytree saved at ``path`` (from orbax metadata,
+    no array reads) — lets callers dispatch on checkpoint layout instead of
+    retrying failed restores."""
+    md = ocp.StandardCheckpointer().metadata(os.path.abspath(path))
+    return frozenset(md.item_metadata.tree.keys())
+
+
+def restore_model_variables(path: str, template: Any) -> Any:
+    """Restore model variables from ANY checkpoint layout this repo writes:
+
+    - a two-tree train-state dir (``path/model``, carries a ``step`` leaf),
+    - a flat model tree with a ``step`` leaf (legacy ``train_iter``),
+    - a stepless snapshot (``{params, batch_stats}`` only — the convergence
+      demo's ``--save-geo`` / ``--save-agent``).
+
+    ``template`` is the model-variables dict ({params, batch_stats}, plus
+    any extra collections the model carries); the return value has exactly
+    its keys — a saved ``step`` leaf is restored structurally (shape/dtype
+    from checkpoint metadata) but dropped. This is the one restore helper
+    every model-only consumer (eval CLIs, frozen-geo loading, visualiser)
+    should use, so layout writers and readers cannot drift apart.
+    """
+    mp = model_tree_path(path)
+    saved = saved_tree_keys(mp)
+    tpl = {k: v for k, v in template.items() if k != "step"}
+    missing = sorted(k for k in tpl if k not in saved)
+    if missing:
+        raise ValueError(
+            f"checkpoint at {path} lacks collections {missing}; "
+            f"it has {sorted(saved)}")
+    if "step" in saved:
+        md = ocp.StandardCheckpointer().metadata(mp).item_metadata.tree
+        tpl["step"] = jax.ShapeDtypeStruct(tuple(md["step"].shape),
+                                           md["step"].dtype)
+    out = restore_checkpoint(mp, template=tpl)
+    return {k: out[k] for k in template if k != "step"}
+
+
 def restore_train_checkpoint(path: str, state: Any):
     """Restore ``save_train_checkpoint`` output (or a legacy flat model-only
     checkpoint) onto ``state``. Returns ``(state, opt_restored)`` —
     ``opt_restored`` is False when only model weights were found, in which
     case the caller keeps the fresh optimizer state (the reference's
     behaviour, now loud instead of silent)."""
-    tpl = {"params": state.params, "batch_stats": state.batch_stats,
-           "step": state.step}
     model_path = model_tree_path(path)
-    try:
-        m = restore_checkpoint(model_path, template=tpl)
-    except Exception:
-        # legacy flat checkpoints saved without a step leaf (pre-round-3
-        # train_iter): retry with a model-only template, step stays fresh
+    tpl = {"params": state.params, "batch_stats": state.batch_stats}
+    if "step" in saved_tree_keys(model_path):
         m = restore_checkpoint(model_path,
-                               template={"params": state.params,
-                                         "batch_stats": state.batch_stats})
-        m["step"] = state.step
+                               template=dict(tpl, step=state.step))
+    else:
+        # legacy flat checkpoints saved without a step leaf (pre-round-3
+        # train_iter) and demo snapshots: step stays fresh
+        m = restore_checkpoint(model_path, template=tpl)
+        m = dict(m, step=state.step)
     state = state.replace(params=m["params"], batch_stats=m["batch_stats"],
                           step=m["step"])
     opt_path = os.path.join(path, "opt")

@@ -103,6 +103,40 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_restore_model_variables_all_layouts(tmp_path):
+    """One restore helper for every checkpoint layout the repo writes:
+    a two-tree train-state dir (<ckpt>/model + step), a flat tree with a
+    step leaf, and a stepless demo snapshot. Model-only consumers (eval
+    CLIs, frozen-geo loading) dispatch on metadata instead of retrying
+    failed restores."""
+    from cmr_agent_tpu.train import (save_train_checkpoint,
+                                     restore_model_variables)
+
+    batch = _batch()
+    state = create_geo_state(CFG, batch, jax.random.key(0))
+    template = {"params": state.params, "batch_stats": state.batch_stats}
+
+    two_tree = os.path.join(str(tmp_path), "train_ckpt")
+    save_train_checkpoint(two_tree, state)
+    flat = os.path.join(str(tmp_path), "flat_ckpt")
+    save_checkpoint(flat, dict(template, step=state.step))
+    stepless = os.path.join(str(tmp_path), "stepless_ckpt")
+    save_checkpoint(stepless, template)
+
+    want = np.asarray(jax.tree.leaves(state.params)[0])
+    for path in (two_tree, flat, stepless):
+        out = restore_model_variables(path, template)
+        assert set(out) == {"params", "batch_stats"}
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(out["params"])[0]), want)
+
+    # a checkpoint missing a requested collection fails loudly, naming it
+    params_only = os.path.join(str(tmp_path), "params_only")
+    save_checkpoint(params_only, {"params": state.params})
+    with pytest.raises(ValueError, match="batch_stats"):
+        restore_model_variables(params_only, template)
+
+
 @pytest.mark.slow
 def test_kill_restart_resume_bitexact(tmp_path):
     """True resume (VERDICT r2 missing #3): a run checkpointed with

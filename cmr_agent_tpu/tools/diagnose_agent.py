@@ -1,0 +1,243 @@
+"""Per-step policy diagnostics for a trained agent snapshot.
+
+The convergence logs expose *aggregate* RTE/RRE and expert agreement; when
+a run plateaus they cannot distinguish the failure modes that look
+identical from outside (rotation-frozen policy, wrong-direction rotation,
+translation drift, unobservable 2-D raster). This tool replays
+deterministic episodes on a held-out pool and prints, for every episode
+step k:
+
+* mean RTE / RRE across the pool (does the error actually descend, and at
+  which step does progress stop),
+* the policy-vs-expert action histogram for the rotation head and the two
+  translation heads (is the policy using the big steps the expert uses),
+* rotation *direction* agreement (sign matches are what move the pose —
+  exact-index agreement under-credits near-ties between adjacent steps),
+* 2-D raster occupancy (how many predicted-overlap points actually land in
+  the frustum — zero occupancy means the 2-D observation is blind and the
+  3-D branch is the only signal, the regime that defeats the reference's
+  static observation; reference environment.py:39-84).
+
+Mirrors the capability of the reference's manual debug prints in
+Train_Agent.py:223-250, redesigned as a first-class CLI::
+
+    python -m cmr_agent_tpu.tools.diagnose_agent --full --scene structured \
+        --geo-ckpt /tmp/geo --agent-ckpt /tmp/agent --pose-aware
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def build_pool(cfg, args):
+    from ..data import SyntheticDataset, DataLoader
+
+    fps_fn = nn_fn = None
+    if args.full:
+        from ..native import get_fast_host_ops
+        fps_fn, nn_fn = get_fast_host_ops()
+    ds = SyntheticDataset(cfg, length=args.pool_size, seed=args.seed,
+                          fps_fn=fps_fn, nn_fn=nn_fn, scene=args.scene)
+    loader = DataLoader(ds, args.batch_size, shuffle=False, num_workers=0,
+                        seed=args.seed)
+    return [dict((k, jnp.asarray(v)) for k, v in b.items()) for b in loader]
+
+
+def replay_poses(cfg, traj, batch):
+    """Recompute the per-step pose sequence from recorded actions.
+
+    ``run_episode`` returns only the final pose; the trajectory's
+    ``action_r/t [K,B,...]`` replays exactly (the action application is
+    deterministic), giving pose errors *after* each step k.
+    """
+    from ..env import apply_action, init_poses
+    from ..ops import pose_diff, to_disentangled
+
+    r_steps = jnp.asarray(cfg.r_steps_array())
+    t_steps = jnp.asarray(cfg.t_steps_array())
+    pose, tgt = init_poses(batch)
+    tgt = to_disentangled(tgt, batch["pc"])
+    errs = [pose_diff(pose, tgt)]
+    for k in range(traj["action_r"].shape[0]):
+        pose = apply_action(traj["action_r"][k], traj["action_t"][k], pose,
+                            r_steps, t_steps, cfg.is_6_dof)
+        errs.append(pose_diff(pose, tgt))
+    rte = np.stack([np.asarray(e[0]) for e in errs])   # [K+1, B]
+    rre = np.stack([np.asarray(e[1]) for e in errs])
+    return rte, rre, pose
+
+
+def raster_occupancy(cfg, batch, geo_out, poses_rte_unused, traj):
+    """Predicted-overlap points inside the frustum per step, by replay."""
+    from ..env import apply_action, init_poses
+    from ..ops.geometry import (frustum_mask, project_points,
+                                transform_points_disentangled)
+
+    r_steps = jnp.asarray(cfg.r_steps_array())
+    t_steps = jnp.asarray(cfg.t_steps_array())
+    pose, _ = init_poses(batch)
+    pc = geo_out["pc"]
+    overlap = geo_out["pc_overlap_pred"]
+    counts = []
+    for k in range(traj["action_r"].shape[0] + 1):
+        moved = transform_points_disentangled(pc, pose[:, :3, :3],
+                                              pose[:, :3, 3])
+        proj = project_points(moved, batch["K"])
+        in_cam = frustum_mask(proj, w=cfg.image_w, h=cfg.image_h)
+        counts.append(np.asarray((in_cam & overlap).sum(axis=1)))
+        if k < traj["action_r"].shape[0]:
+            pose = apply_action(traj["action_r"][k], traj["action_t"][k],
+                                pose, r_steps, t_steps, cfg.is_6_dof)
+    return np.stack(counts)                            # [K+1, B]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--full", action="store_true")
+    p.add_argument("--scene", default="structured",
+                   choices=["random", "structured"])
+    p.add_argument("--pool-size", type=int, default=16)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--seed", type=int, default=7919,
+                   help="pool seed (default: the convergence demo's "
+                        "held-out validation pool)")
+    p.add_argument("--geo-ckpt", required=True)
+    p.add_argument("--agent-ckpt", default="",
+                   help="omit to diagnose an untrained agent")
+    p.add_argument("--pose-aware", action="store_true",
+                   help="must match how the snapshot was trained")
+    p.add_argument("--t-amp", type=float, default=None)
+    p.add_argument("--r-amp", type=float, default=None)
+    args = p.parse_args(argv)
+
+    over = {}
+    if args.t_amp is not None:
+        over.update(p_tx_amplitude=args.t_amp, p_tz_amplitude=args.t_amp)
+    if args.r_amp is not None:
+        over.update(p_ry_amplitude=args.r_amp)
+    if args.pose_aware:
+        over.update(pose_aware_observation=True)
+    if args.full:
+        from ..config import kitti_config
+        jax.config.update("jax_compilation_cache_dir", "/tmp/cmr_jax_cache")
+        cfg = kitti_config(compute_dtype="bfloat16",
+                           train_batch_size=args.batch_size, **over)
+    else:
+        from ..config import tiny_config
+        cfg = tiny_config(train_batch_size=args.batch_size, **over)
+
+    from ..train import (create_geo_state, create_agent_state,
+                         restore_model_variables)
+    from ..train.train_geo import make_geo_forward
+    from ..train.train_agent import _episode_state
+    from ..env import init_poses, run_episode
+    from ..ops import to_disentangled
+
+    pool = build_pool(cfg, args)
+    geo_state = create_geo_state(cfg, pool[0], jax.random.key(0))
+    gv = restore_model_variables(
+        args.geo_ckpt, {"params": geo_state.params,
+                        "batch_stats": geo_state.batch_stats})
+    geo_state = geo_state.replace(params=gv["params"],
+                                  batch_stats=gv["batch_stats"])
+    fwd = make_geo_forward(cfg)
+
+    h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
+    agent_state = create_agent_state(
+        cfg, jnp.zeros((args.batch_size, h, w, 2 * f)),
+        jnp.zeros((args.batch_size, cfg.num_pt, 5)), jax.random.key(1))
+    if args.agent_ckpt:
+        av = restore_model_variables(
+            args.agent_ckpt, {"params": agent_state.params,
+                              "batch_stats": agent_state.batch_stats})
+        agent_state = agent_state.replace(params=av["params"],
+                                          batch_stats=av["batch_stats"])
+
+    @jax.jit
+    def episode(batch, geo_out):
+        state = _episode_state(geo_out, batch)
+        pose_src, pose_tgt = init_poses(state)
+        pose_tgt = to_disentangled(pose_tgt, state["pc"])
+        apply_fn = lambda v, o2, o3: agent_state.apply_fn(v, o2, o3,
+                                                          train=False)
+        avars = {"params": agent_state.params,
+                 "batch_stats": agent_state.batch_stats}
+        _, traj = run_episode(apply_fn, avars, state, pose_src, pose_tgt,
+                              cfg, deterministic=True, with_expert=True,
+                              collect_trajectory=True)
+        keep = ("action_r", "action_t", "expert_action_r",
+                "expert_action_t")
+        return {k: traj[k] for k in keep}
+
+    K = cfg.action_num
+    n_act = len(cfg.r_steps_deg)
+    rte_all, rre_all, occ_all = [], [], []
+    hist_pol = np.zeros((K, n_act), np.int64)
+    hist_exp = np.zeros((K, n_act), np.int64)
+    t_hist_pol = np.zeros((K, n_act), np.int64)
+    t_hist_exp = np.zeros((K, n_act), np.int64)
+    sign_agree = np.zeros(K)
+    zero_while_far = np.zeros(K)
+    n_seen = 0
+    for batch in pool:
+        geo_out = fwd(geo_state.params, geo_state.batch_stats, batch)
+        traj = jax.tree.map(np.asarray, episode(batch, geo_out))
+        rte, rre, _ = replay_poses(cfg, traj, batch)
+        rte_all.append(rte)
+        rre_all.append(rre)
+        occ_all.append(raster_occupancy(cfg, batch, geo_out, None, traj))
+        ar = traj["action_r"][:, :, 0]                 # [K, B] yaw head
+        er = traj["expert_action_r"][:, :, 0]
+        zero_idx = n_act // 2                          # the 0.0 step
+        for k in range(K):
+            hist_pol[k] += np.bincount(ar[k], minlength=n_act)
+            hist_exp[k] += np.bincount(er[k], minlength=n_act)
+            t_hist_pol[k] += np.bincount(traj["action_t"][k].ravel(),
+                                         minlength=n_act)
+            t_hist_exp[k] += np.bincount(traj["expert_action_t"][k].ravel(),
+                                         minlength=n_act)
+            pol_dir = np.sign(ar[k] - zero_idx)
+            exp_dir = np.sign(er[k] - zero_idx)
+            sign_agree[k] += (pol_dir == exp_dir).sum()
+            far = np.abs(er[k] - zero_idx) >= 4        # expert wants big
+            zero_while_far[k] += ((ar[k] == zero_idx) & far).sum()
+        n_seen += ar.shape[1]
+
+    rte = np.concatenate(rte_all, axis=1)              # [K+1, total]
+    rre = np.concatenate(rre_all, axis=1)
+    occ = np.concatenate(occ_all, axis=1)
+    steps_deg = [f"{s:+.4g}" for s in np.degrees(cfg.r_steps_array())]
+    steps_m = [f"{s:+.4g}" for s in cfg.t_steps_array()]
+
+    print(f"pool {rte.shape[1]} samples  K={K}  "
+          f"(policy {'argmax' if True else ''}, expert alongside)")
+    print("\nstep |  RTE(m)  RRE(deg) | raster-occ | r sign-agree"
+          "  r0-while-far")
+    for k in range(K + 1):
+        tail = ""
+        if k < K:
+            tail = (f" | {sign_agree[k] / n_seen:10.2f}"
+                    f" {zero_while_far[k] / n_seen:12.2f}")
+        print(f"{k:4d} | {rte[k].mean():7.3f} {rre[k].mean():8.2f}"
+              f" | {occ[k].mean():9.0f}{tail}")
+
+    def show_hist(title, hp, he, labels):
+        print(f"\n{title} (rows: step; cols: {' '.join(labels)})")
+        for k in range(K):
+            tot = max(hp[k].sum(), 1)
+            pol = " ".join(f"{v / tot:4.0%}" for v in hp[k])
+            exp = " ".join(f"{v / tot:4.0%}" for v in he[k])
+            print(f"  k={k}  pol {pol}\n       exp {exp}")
+
+    show_hist("rotation head", hist_pol, hist_exp, steps_deg)
+    show_hist("translation heads (x+z pooled)", t_hist_pol, t_hist_exp,
+              steps_m)
+
+
+if __name__ == "__main__":
+    main()

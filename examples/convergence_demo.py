@@ -124,6 +124,24 @@ def main(argv=None):
                         "observations differ even when a large yaw error "
                         "empties the raster — the repeat-action translation "
                         "runaway of runs D/E cannot occur")
+    p.add_argument("--lr", type=float, default=None,
+                   help="override cfg.lr for BOTH stages")
+    p.add_argument("--lr-epoch-steps", type=int, default=0,
+                   help="pace the agent's StepLR schedule: optimizer steps "
+                        "per 'epoch' (decay x0.6 every step_size=4 "
+                        "epochs). The historical default (1000) decays "
+                        "every ~400 demo agent steps — each agent step "
+                        "runs ~K*B/ppo_batch optimizer updates — so runs "
+                        "beyond ~4000 steps train at lr < 1e-5: the "
+                        "round-3 A-F plateaus were partly a dead learning "
+                        "rate, not a learnability ceiling. 0 keeps the "
+                        "historical default; pass e.g. total_updates/16 "
+                        "to spread the reference's 16 decays (64 epochs / "
+                        "step_size 4, KittiConfig.py:35-38) over the run")
+    p.add_argument("--load-agent", default="",
+                   help="orbax dir to warm-start the agent from (a "
+                        "--save-agent snapshot; optimizer state starts "
+                        "fresh)")
     p.add_argument("--save-geo", default="",
                    help="orbax dir to save the stage-1 geo model to (the "
                         "full-scale geo stage costs ~27 min on one chip; "
@@ -155,6 +173,8 @@ def main(argv=None):
         amp.update(alpha=args.alpha)
     if args.pose_aware:
         amp.update(pose_aware_observation=True)
+    if args.lr is not None:
+        amp.update(lr=args.lr)
 
     fps_fn = nn_fn = None
     if args.full:
@@ -278,9 +298,18 @@ def main(argv=None):
     h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
     agent_state = create_agent_state(
         cfg, jnp.zeros((args.batch_size, h, w, 2 * f)),
-        jnp.zeros((args.batch_size, cfg.num_pt, 5)), jax.random.key(1))
+        jnp.zeros((args.batch_size, cfg.num_pt, 5)), jax.random.key(1),
+        steps_per_epoch=args.lr_epoch_steps or 1000)
     # deep-copy: the PPO update donates its input state's buffers
     untrained = jax.tree.map(jnp.copy, agent_state)
+    if args.load_agent:
+        from cmr_agent_tpu.train.checkpoint import restore_model_variables
+        av = restore_model_variables(
+            args.load_agent, {"params": agent_state.params,
+                              "batch_stats": agent_state.batch_stats})
+        agent_state = agent_state.replace(params=av["params"],
+                                          batch_stats=av["batch_stats"])
+        print(f"[agent] warm-started from {args.load_agent}", flush=True)
 
     rollout = make_rollout_fn(cfg)
     update = make_ppo_update_step(cfg)

@@ -43,6 +43,79 @@ def test_dp_train_step_matches_single_device():
                                float(m_sharded["loss"]), rtol=1e-4)
 
 
+@pytest.mark.slow
+def test_dp_agent_stage_matches_single_device():
+    """The RL stage under a dp mesh: the deterministic val episode and one
+    PPO update must match the single-device result (GSPMD inserts the
+    cross-device reductions — BatchNorm batch stats, loss means — inside
+    the same jitted programs the single-device path runs).
+
+    The optimizer here is SGD, not Adam: the update is linear in the
+    gradient, so cross-device reduction-order noise stays at float
+    epsilon. Adam divides by sqrt(v), which amplifies that noise to
+    ~±lr on near-zero-gradient parameters — equivalent programs then
+    legitimately differ (see docs/DESIGN.md on conv-bias-into-BN)."""
+    from cmr_agent_tpu.env import TrajectoryBuffer
+    from cmr_agent_tpu.parallel import batch_sharding
+    from cmr_agent_tpu.train import (create_agent_state, make_rollout_fn,
+                                     make_ppo_update_step,
+                                     make_val_episode_fn)
+    from cmr_agent_tpu.train.train_geo import make_geo_forward
+
+    cfg = micro_config(train_batch_size=4, optimizer="SGD")
+    ds = SyntheticDataset(cfg, length=4)
+    batch = collate([ds[i] for i in range(4)])
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    geo_state = create_geo_state(cfg, batch, jax.random.key(0))
+    fwd = make_geo_forward(cfg)
+    geo_out = fwd(geo_state.params, geo_state.batch_stats, batch)
+
+    h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
+    agent_state = create_agent_state(
+        cfg, jnp.zeros((4, h, w, 2 * f)), jnp.zeros((4, cfg.num_pt, 5)),
+        jax.random.key(1))
+
+    val = make_val_episode_fn(cfg)
+    _, rte_single, rre_single = val(agent_state, geo_out, batch)
+
+    rollout = make_rollout_fn(cfg)
+    traj, _, _ = rollout(agent_state, geo_out, batch, jax.random.key(2))
+    buf = TrajectoryBuffer(cfg.gamma, cfg.gae_lambda)
+    buf.add(traj)
+    mb = {k: v[: cfg.ppo_batch_size] for k, v in buf.samples().items()}
+
+    update = make_ppo_update_step(cfg)
+    # PPO update donates the input state: keep an intact copy per path
+    state_a = jax.tree.map(jnp.copy, agent_state)
+    new_single, m_single = update(state_a, mb)
+
+    mesh = make_mesh((4,), ("dp",), devices=jax.devices()[:4])
+    shard = lambda tree: jax.tree.map(
+        lambda x: jax.device_put(
+            x, batch_sharding(mesh, x.ndim)) if x.ndim else x, tree)
+    state_b = agent_state.replace(
+        params=replicate(agent_state.params, mesh),
+        batch_stats=replicate(agent_state.batch_stats, mesh),
+        opt_state=replicate(agent_state.opt_state, mesh))
+
+    _, rte_dp, rre_dp = val(state_b, shard(geo_out), shard(batch))
+    np.testing.assert_allclose(np.asarray(rte_dp), np.asarray(rte_single),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(rre_dp), np.asarray(rre_single),
+                               rtol=1e-4, atol=1e-3)
+
+    new_dp, m_dp = update(state_b, shard(mb))
+    np.testing.assert_allclose(float(m_dp["loss"]),
+                               float(m_single["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(m_dp["bc_loss"]),
+                               float(m_single["bc_loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(new_single.params),
+                    jax.tree.leaves(new_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_sp_linear_attention_matches_unsharded():
     rng = np.random.default_rng(0)
     b, l, s, h, d = 2, 64, 40, 4, 8

@@ -53,6 +53,23 @@ def resume_rollout_step(cfg, opt_step: int) -> int:
         * cfg.num_trajectory
 
 
+def agent_updates_per_epoch(cfg, num_batches: int) -> int:
+    """Optimizer updates per DATASET epoch, for StepLR pacing.
+
+    The reference steps its scheduler once per dataset epoch
+    (Train_Agent.py:317); our schedule counts OPTIMIZER updates — and
+    each buffer flush (every ``num_trajectory`` batches) runs
+    ``num_trajectory * train_batch_size * action_num // ppo_batch_size``
+    minibatch updates. Passing raw batches-per-epoch made the schedule
+    advance ~B*K/ppo_batch (typically 10x) too fast: lr hit 1e-5 within
+    half an epoch of the reference's pacing.
+    """
+    n_flush = cfg.num_trajectory * cfg.train_batch_size * cfg.action_num
+    upd_per_flush = n_flush // cfg.ppo_batch_size
+    return max(1, max(num_batches, 1) * upd_per_flush
+               // max(cfg.num_trajectory, 1))
+
+
 def load_geo_variables(cfg, args, example_batch):
     """Init geo variables, then load a checkpoint (orbax dir or torch .pth)."""
     model = MultiHeadModel(cfg)
@@ -128,7 +145,7 @@ def main(argv=None):
         cfg, jnp.zeros((cfg.train_batch_size, h, w, 2 * f)),
         jnp.zeros((cfg.train_batch_size, cfg.num_pt, 5)),
         jax.random.key(cfg.seed),
-        steps_per_epoch=max(len(train_loader), 1))
+        steps_per_epoch=agent_updates_per_epoch(cfg, len(train_loader)))
     if args.resume:
         agent_state, opt_restored = restore_train_checkpoint(args.resume,
                                                              agent_state)

@@ -103,6 +103,27 @@ def test_resume_rollout_step_arithmetic():
     assert resume_rollout_step(cfg, upd + 1) == 2 * cfg.num_trajectory
 
 
+def test_agent_lr_schedule_counts_optimizer_updates():
+    """StepLR pacing: the agent runs several optimizer updates per loader
+    batch, so steps_per_epoch must be updates-per-DATASET-epoch (the
+    reference steps its scheduler once per epoch, Train_Agent.py:317)."""
+    from cmr_agent_tpu.cli.train_agent import agent_updates_per_epoch
+    from cmr_agent_tpu.config import kitti_config, micro_config
+
+    cfg = kitti_config(train_batch_size=8, num_trajectory=2,
+                       ppo_batch_size=8)
+    # 2 trajectories x 8 samples x 10 steps = 160 flattened samples
+    # -> 20 minibatch updates per 2-batch flush -> 10 updates/batch
+    assert agent_updates_per_epoch(cfg, 100) == 1000
+    assert agent_updates_per_epoch(cfg, 0) >= 1      # empty loader guard
+
+    cfg = micro_config()
+    per_flush = (cfg.num_trajectory * cfg.train_batch_size
+                 * cfg.action_num) // cfg.ppo_batch_size
+    assert (agent_updates_per_epoch(cfg, 6)
+            == 6 * per_flush // cfg.num_trajectory)
+
+
 def test_enable_compile_cache_policy(monkeypatch):
     import jax
     from cmr_agent_tpu.cli.common import enable_compile_cache

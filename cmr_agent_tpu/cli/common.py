@@ -47,6 +47,11 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         "sync = in-line loading (debug)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax NaN debugging (fails fast on any NaN)")
+    p.add_argument("--stop-file", default="",
+                   help="graceful stop: when this file appears, finish the "
+                        "current step, checkpoint, and exit cleanly. "
+                        "Killing a process mid-TPU-step can wedge the "
+                        "device grant on remote runtimes — prefer this")
     p.add_argument("--profile", default="",
                    help="capture a jax.profiler trace of the run into this "
                         "directory (view with tensorboard or parse the "

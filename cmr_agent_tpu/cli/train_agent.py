@@ -174,6 +174,16 @@ def main(argv=None):
         for epoch in range(cfg.epoch):
             train_loader.set_epoch(epoch)
             for batch in train_loader:
+                if args.stop_file and os.path.exists(args.stop_file):
+                    logger.flush()
+                    save_train_checkpoint(
+                        os.path.join(ckpt_dir,
+                                     f"stop-epoch-{epoch}-step-{global_step}"),
+                        agent_state)
+                    print(f"stop-file {args.stop_file} found at step "
+                          f"{global_step}; checkpointed and exiting")
+                    logger.close()
+                    return agent_state
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
                 # validation (Train_Agent.py:170-212)

@@ -80,6 +80,16 @@ def main(argv=None):
         for epoch in range(cfg.epoch):
             train_loader.set_epoch(epoch)
             for batch in train_loader:
+                if args.stop_file and os.path.exists(args.stop_file):
+                    logger.flush()
+                    save_train_checkpoint(
+                        os.path.join(ckpt_dir,
+                                     f"stop-epoch-{epoch}-step-{global_step}"),
+                        state)
+                    print(f"stop-file {args.stop_file} found at step "
+                          f"{global_step}; checkpointed and exiting")
+                    logger.close()
+                    return state
                 if (global_step % cfg.val_interval < dispatch
                         and not microbatches and len(val_loader)):
                     logger.flush()

@@ -18,6 +18,7 @@ recorded in docs/CONVERGENCE.md.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -156,6 +157,12 @@ def main(argv=None):
     p.add_argument("--val-every", type=int, default=0,
                    help="validate (and consider a best snapshot) every N "
                         "agent steps; 0 = max(10, agent_steps/8)")
+    p.add_argument("--stop-file", default="",
+                   help="graceful stop: when this file appears, finish the "
+                        "current step, run the final evaluation and save "
+                        "snapshots. Killing the process mid-TPU-step can "
+                        "wedge the device grant on remote runtimes — this "
+                        "is the safe way to cut a run short")
     p.add_argument("--val-size", type=int, default=0,
                    help="held-out validation scenes at FULL amplitude "
                         "(fixed seed, disjoint from training); 0 = "
@@ -268,6 +275,10 @@ def main(argv=None):
               flush=True)
     else:
         for i in range(args.geo_steps):
+            if args.stop_file and os.path.exists(args.stop_file):
+                print(f"[geo] stop-file {args.stop_file} found at step {i}",
+                      flush=True)
+                break
             if (args.geo_refresh_every and i > 0
                     and i % args.geo_refresh_every == 0):
                 batches = make_pool(args.pool_size, seed=0,
@@ -364,6 +375,10 @@ def main(argv=None):
     t0 = time.time()
     bc_first = bc_last = None
     for i in range(args.agent_steps):
+        if args.stop_file and os.path.exists(args.stop_file):
+            print(f"[agent] stop-file {args.stop_file} found at step {i}",
+                  flush=True)
+            break
         if args.refresh_every and i % args.refresh_every == 0:
             # agent-stage pools: own seed stream (disjoint from geo's),
             # fresh scenes + perturbations, curriculum- or mixture-scaled
@@ -424,8 +439,9 @@ def main(argv=None):
                 # behaviour depends on both
                 best_snap = jax.tree.map(
                     jnp.copy, (agent_state.params, agent_state.batch_stats))
-    print(f"[agent] bc_loss {bc_first:.4f} -> {bc_last:.4f} "
-          f"({time.time()-t0:.0f}s)")
+    if bc_first is not None:
+        print(f"[agent] bc_loss {bc_first:.4f} -> {bc_last:.4f} "
+              f"({time.time()-t0:.0f}s)")
     if best_snap is not None:
         agent_state = agent_state.replace(params=best_snap[0],
                                           batch_stats=best_snap[1])

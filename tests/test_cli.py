@@ -45,6 +45,28 @@ def test_cli_train_eval_roundtrip(tmp_path, monkeypatch):
     assert 0.0 <= r["matching_inlier_ratio"] <= 1.0
 
 
+def test_stop_file_checkpoints_and_exits(tmp_path, monkeypatch):
+    """--stop-file must exit cleanly with a resumable checkpoint (killing
+    a mid-step TPU process can wedge the device grant on remote
+    runtimes)."""
+    from cmr_agent_tpu.config import micro_config
+    import cmr_agent_tpu.cli.common as cli_common
+    monkeypatch.setattr(cli_common, "tiny_config", micro_config)
+    from cmr_agent_tpu.cli import train_geo
+
+    stop = tmp_path / "stop"
+    stop.write_text("")
+    ckpt = str(tmp_path / "ckpt")
+    train_geo.main(["--dataset", "synthetic", "--tiny",
+                    "--synthetic-length", "2", "--batch-size", "2",
+                    "--logdir", str(tmp_path / "log"), "--ckpt-dir", ckpt,
+                    "--steps", "5", "--stop-file", str(stop)])
+    stops = glob.glob(os.path.join(ckpt, "*", "stop-epoch-*"))
+    assert stops, "stop-file exit produced no checkpoint"
+    # the stop checkpoint is a full train state (two-tree layout)
+    assert os.path.isdir(os.path.join(stops[0], "model"))
+
+
 def test_make_loader_worker_policy(monkeypatch):
     """The CLIs must honour cfg.num_workers (VERDICT r2: hardcoded 2
     starves a real TPU host) and pick the process pool for GIL-bound

@@ -169,8 +169,30 @@ def main():
     dtype = os.environ.get("CMR_BENCH_DTYPE", "bfloat16")
     cfg = kitti_config(compute_dtype=dtype)
 
+    # Watchdog: a dead/wedged device grant makes jax.devices() block
+    # forever (claim_timeout -1; observed after a client was killed
+    # mid-step). Emit an explicit error line instead of hanging the
+    # caller. Generous default: per-process runtime warm-up through the
+    # tunnel is ~1-5 min when healthy.
+    import threading
+    init_done = threading.Event()
+    timeout_s = float(os.environ.get("CMR_BENCH_DEVICE_TIMEOUT", "900"))
+
+    def _watchdog():
+        if not init_done.wait(timeout_s):
+            log(f"device initialization exceeded {timeout_s:.0f}s — "
+                "wedged device grant?")
+            print(json.dumps({
+                "metric": "kitti_episode_pairs_per_sec_per_chip",
+                "value": None, "unit": "pairs/s", "vs_baseline": None,
+                "error": f"device init timed out after {timeout_s:.0f}s",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     tpu_devices = [d for d in jax.devices() if d.platform != "cpu"]
     cpu_devices = jax.devices("cpu")
+    init_done.set()
 
     if tpu_devices:
         dev = tpu_devices[0]

@@ -73,7 +73,16 @@ def replay_poses(cfg, traj, batch):
 
 
 def raster_occupancy(cfg, batch, geo_out, poses_rte_unused, traj):
-    """Predicted-overlap points inside the frustum per step, by replay."""
+    """Per-step, by replaying the recorded actions:
+
+    * predicted-overlap points inside the frustum (2-D observability),
+    * ORACLE yaw-direction accuracy — does ``sign(mean bearing)`` of the
+      overlap-flagged points under the current estimate agree with the
+      expert's yaw direction? The bearing is a two-layer function of the
+      pose-aware 3-D observation (atan2 over flagged coords), so high
+      oracle accuracy + a failing policy = optimization/training gap;
+      low oracle accuracy = the observation itself lacks the signal.
+    """
     from ..env import apply_action, init_poses
     from ..ops.geometry import (frustum_mask, project_points,
                                 transform_points_disentangled)
@@ -83,7 +92,8 @@ def raster_occupancy(cfg, batch, geo_out, poses_rte_unused, traj):
     pose, _ = init_poses(batch)
     pc = geo_out["pc"]
     overlap = geo_out["pc_overlap_pred"]
-    counts = []
+    zero_idx = len(cfg.r_steps_deg) // 2
+    counts, oracle_hits, oracle_n = [], [], []
     for k in range(traj["action_r"].shape[0] + 1):
         moved = transform_points_disentangled(pc, pose[:, :3, :3],
                                               pose[:, :3, 3])
@@ -91,9 +101,20 @@ def raster_occupancy(cfg, batch, geo_out, poses_rte_unused, traj):
         in_cam = frustum_mask(proj, w=cfg.image_w, h=cfg.image_h)
         counts.append(np.asarray((in_cam & overlap).sum(axis=1)))
         if k < traj["action_r"].shape[0]:
+            m = np.asarray(moved)
+            w = np.asarray(overlap, dtype=np.float64)
+            cx = (m[..., 0] * w).sum(1) / np.maximum(w.sum(1), 1)
+            cz = (m[..., 2] * w).sum(1) / np.maximum(w.sum(1), 1)
+            bearing = np.arctan2(cx, cz)               # 0 = straight ahead
+            exp_dir = np.sign(np.asarray(traj["expert_action_r"][k, :, 0])
+                              - zero_idx)
+            want = exp_dir != 0
+            oracle_hits.append((np.sign(bearing) == -exp_dir) & want)
+            oracle_n.append(want)
             pose = apply_action(traj["action_r"][k], traj["action_t"][k],
                                 pose, r_steps, t_steps, cfg.is_6_dof)
-    return np.stack(counts)                            # [K+1, B]
+    return (np.stack(counts), np.stack(oracle_hits),
+            np.stack(oracle_n))                        # [K+1|K, B]
 
 
 def main(argv=None):
@@ -176,7 +197,7 @@ def main(argv=None):
 
     K = cfg.action_num
     n_act = len(cfg.r_steps_deg)
-    rte_all, rre_all, occ_all = [], [], []
+    rte_all, rre_all, occ_all, orh_all, orn_all = [], [], [], [], []
     hist_pol = np.zeros((K, n_act), np.int64)
     hist_exp = np.zeros((K, n_act), np.int64)
     t_hist_pol = np.zeros((K, n_act), np.int64)
@@ -190,7 +211,10 @@ def main(argv=None):
         rte, rre, _ = replay_poses(cfg, traj, batch)
         rte_all.append(rte)
         rre_all.append(rre)
-        occ_all.append(raster_occupancy(cfg, batch, geo_out, None, traj))
+        occ, orh, orn = raster_occupancy(cfg, batch, geo_out, None, traj)
+        occ_all.append(occ)
+        orh_all.append(orh)
+        orn_all.append(orn)
         ar = traj["action_r"][:, :, 0]                 # [K, B] yaw head
         er = traj["expert_action_r"][:, :, 0]
         zero_idx = n_act // 2                          # the 0.0 step
@@ -211,18 +235,30 @@ def main(argv=None):
     rte = np.concatenate(rte_all, axis=1)              # [K+1, total]
     rre = np.concatenate(rre_all, axis=1)
     occ = np.concatenate(occ_all, axis=1)
+    orh = np.concatenate(orh_all, axis=1)
+    orn = np.concatenate(orn_all, axis=1)
+    # sign convention is empirical: report the better orientation
+    acc = orh.sum() / max(orn.sum(), 1)
+    oracle_flip = acc < 0.5
+    oracle = np.where(orn.sum(1) > 0,
+                      (orn ^ orh if oracle_flip else orh).sum(1)
+                      / np.maximum(orn.sum(1), 1), np.nan)
     steps_deg = [f"{s:+.4g}" for s in np.degrees(cfg.r_steps_array())]
     steps_m = [f"{s:+.4g}" for s in cfg.t_steps_array()]
 
     print(f"pool {rte.shape[1]} samples  K={K}  "
-          f"(policy {'argmax' if True else ''}, expert alongside)")
+          f"(policy argmax, expert alongside)")
+    print(f"oracle yaw-direction accuracy (sign of overlap-sector bearing"
+          f"{', flipped convention' if oracle_flip else ''}): "
+          f"{max(acc, 1 - acc):.2f} overall")
     print("\nstep |  RTE(m)  RRE(deg) | raster-occ | r sign-agree"
-          "  r0-while-far")
+          "  r0-while-far  oracle-dir")
     for k in range(K + 1):
         tail = ""
         if k < K:
             tail = (f" | {sign_agree[k] / n_seen:10.2f}"
-                    f" {zero_while_far[k] / n_seen:12.2f}")
+                    f" {zero_while_far[k] / n_seen:12.2f}"
+                    f" {oracle[k]:11.2f}")
         print(f"{k:4d} | {rte[k].mean():7.3f} {rre[k].mean():8.2f}"
               f" | {occ[k].mean():9.0f}{tail}")
 

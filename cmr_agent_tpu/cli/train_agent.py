@@ -214,8 +214,17 @@ def main(argv=None):
                             os.path.join(ckpt_dir,
                                          f"epoch-{epoch}-step-{global_step}"),
                             agent_state)
+                    # surface the schedule position: the round-3 dead-lr
+                    # defect (docs/CONVERGENCE.md section 4) was invisible
+                    # because no log line carried the live lr
+                    from ..train.optim import make_lr_schedule
+                    cur_lr = float(make_lr_schedule(
+                        cfg, agent_updates_per_epoch(cfg, len(train_loader)))(
+                            int(agent_state.step)))
+                    logger.log("train/lr", cur_lr, global_step)
                     print(f"[val] step {global_step} RRE {new_r:.3f} "
-                          f"RTE {new_t:.3f} (best {best_r:.3f}/{best_t:.3f})")
+                          f"RTE {new_t:.3f} lr {cur_lr:.2e} "
+                          f"(best {best_r:.3f}/{best_t:.3f})")
 
                 geo_out = geo_forward(geo_vars["params"], geo_vars["batch_stats"],
                                       batch)

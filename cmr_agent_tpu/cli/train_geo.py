@@ -109,8 +109,12 @@ def main(argv=None):
                             os.path.join(ckpt_dir,
                                          f"epoch-{epoch}-step-{global_step}"),
                             state)
+                    from ..train.optim import make_lr_schedule
+                    cur_lr = float(make_lr_schedule(
+                        cfg, max(len(train_loader), 1))(int(state.step)))
+                    logger.log("train/lr", cur_lr, global_step)
                     print(f"[val] step {global_step} loss {mean['loss']:.4f} "
-                          f"(best {best_loss:.4f})")
+                          f"lr {cur_lr:.2e} (best {best_loss:.4f})")
 
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 if dispatch > 1:

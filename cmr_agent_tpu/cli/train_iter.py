@@ -116,8 +116,12 @@ def main(argv=None):
                 vl, va = validate()
                 improved = vl < best_loss
                 best_loss = min(best_loss, vl)
+                from ..train.optim import make_lr_schedule
+                cur_lr = float(make_lr_schedule(
+                    cfg, max(1, len(loader)))(int(iter_state.step)))
                 print(f"[val] step {step} cv_loss {vl:.4f} "
-                      f"grid_acc {va:.3f} (best {best_loss:.4f})",
+                      f"grid_acc {va:.3f} lr {cur_lr:.2e} "
+                      f"(best {best_loss:.4f})",
                       flush=True)
                 if improved:
                     save_train_checkpoint(

@@ -322,6 +322,19 @@ def main(argv=None):
                                           batch_stats=av["batch_stats"])
         print(f"[agent] warm-started from {args.load_agent}", flush=True)
 
+    # Decay cadence up front: each agent step runs ~B*K/ppo_batch optimizer
+    # updates, so StepLR (step_size epochs of lr_epoch_steps updates) decays
+    # every step_size*lr_epoch_steps/updates_per_step agent steps. Runs A-F
+    # silently trained at lr <= 1.3e-4 after step 2000 because nothing
+    # printed this (docs/CONVERGENCE.md section 4).
+    upd_per_step = max(1, (args.batch_size * cfg.action_num)
+                       // cfg.ppo_batch_size)
+    eff_epoch = args.lr_epoch_steps or 1000
+    print(f"[agent] lr {cfg.lr:g}, x{cfg.scheduler_gamma:g} every "
+          f"{cfg.step_size * eff_epoch // upd_per_step} agent steps "
+          f"(~{upd_per_step} updates/step, lr-epoch-steps {eff_epoch})",
+          flush=True)
+
     rollout = make_rollout_fn(cfg)
     update = make_ppo_update_step(cfg)
     val = make_val_episode_fn(cfg)
@@ -431,14 +444,29 @@ def main(argv=None):
                           == np.asarray(tr["expert_action_r"])).mean())
             ag_t = float((np.asarray(tr["action_t"])
                           == np.asarray(tr["expert_action_t"])).mean())
+            # current lr from the schedule at the optimizer-update counter:
+            # the dead-lr defect behind runs A-F was invisible because no
+            # per-run log line carried it (docs/CONVERGENCE.md section 4)
+            from cmr_agent_tpu.train.optim import make_lr_schedule
+            cur_lr = float(make_lr_schedule(
+                cfg, args.lr_epoch_steps or 1000)(int(agent_state.step)))
             print(f"[agent] step {i:3d} val RTE {v_rte:.3f} RRE {v_rre:.3f}"
-                  f" agree r {ag_r:.2f} t {ag_t:.2f}{mark}", flush=True)
+                  f" agree r {ag_r:.2f} t {ag_t:.2f}"
+                  f" lr {cur_lr:.2e}{mark}", flush=True)
             if score < best_score:
                 best_score = score
                 # snapshot params AND BatchNorm running stats: the eval
                 # behaviour depends on both
                 best_snap = jax.tree.map(
                     jnp.copy, (agent_state.params, agent_state.batch_stats))
+                if args.save_agent:
+                    # persist on every improvement (orbax overwrite): a
+                    # multi-hour run that dies late must not lose its best
+                    # snapshot to the end-of-run save
+                    from cmr_agent_tpu.train.checkpoint import save_checkpoint
+                    save_checkpoint(args.save_agent,
+                                    {"params": best_snap[0],
+                                     "batch_stats": best_snap[1]})
     if bc_first is not None:
         print(f"[agent] bc_loss {bc_first:.4f} -> {bc_last:.4f} "
               f"({time.time()-t0:.0f}s)")

@@ -9,14 +9,23 @@ import pytest
 
 
 @pytest.mark.slow
-def test_demo_refresh_curriculum_heldout_val():
+def test_demo_refresh_curriculum_heldout_val(tmp_path):
     sys.path.insert(0, "/root/repo")
     from examples.convergence_demo import main
 
+    save = str(tmp_path / "agent_best")
     r = main(["--geo-steps", "4", "--agent-steps", "6", "--batch-size", "2",
               "--pool-size", "4", "--refresh-every", "2",
               "--geo-refresh-every", "2", "--curriculum", "0.5",
-              "--val-size", "4", "--scene", "structured"])
+              "--val-size", "4", "--scene", "structured",
+              # run-G machinery: mixture + DAgger floor + pose-aware obs +
+              # explicit lr pacing + incremental best-snapshot persistence
+              "--amp-mixture", "--expert-beta-floor", "0.2", "--pose-aware",
+              "--lr-epoch-steps", "50", "--val-every", "2",
+              "--save-agent", save])
+    # the best snapshot was persisted incrementally (not only at exit)
+    import os
+    assert os.path.isdir(save)
     # geo descended, BC raised expert agreement (asserted inside main too)
     assert r["geo_losses"][-1] < r["geo_losses"][0]
     u_agree, t_agree = r["agreement"]

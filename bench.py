@@ -224,8 +224,11 @@ def main():
         log(f"no TPU found; CPU stand-in rate {tpu_rate:.3f} pairs/s")
 
     try:
+        # warmup=1 + median of 2 timed blocks: the round-2 artifact showed
+        # the cold single-iteration denominator drifting 0.171->0.196
+        # pairs/s run-to-run, which moved vs_baseline by ~15%
         cpu_rates, _, _ = time_backend(cpu_devices[0], cfg, batch_size=1,
-                                       iters=1, warmup=0)
+                                       iters=2, warmup=1, repeats=2)
         cpu_rate = float(np.median(cpu_rates))
         log(f"CPU baseline: {cpu_rate:.4f} pairs/s")
     except Exception as e:  # CPU backend may be absent under some runtimes

@@ -23,7 +23,6 @@ import numpy as np
 from ..models import IterModel
 from ..models.multi_head import matching_inlier_ratio
 from ..ops.geometry import pose_diff
-from ..train import restore_checkpoint
 from ..train.convert import convert_torch_itermodel
 from ..train.train_iter import iter_model_state
 from ..train.train_geo import make_geo_forward
@@ -68,13 +67,9 @@ def main(argv=None):
             iter_vars = convert_torch_itermodel(cfg, args.iter_ckpt,
                                                 iter_vars)
         else:
-            from ..train import model_tree_path
-            path = model_tree_path(args.iter_ckpt)
-            tpl = dict(iter_vars)
-            if path != args.iter_ckpt:  # two-tree layout carries step too
-                tpl["step"] = jnp.zeros((), jnp.int32)
-            restored = restore_checkpoint(path, template=tpl)
-            iter_vars = {k: restored[k] for k in iter_vars}
+            from ..train import restore_model_variables
+            iter_vars = restore_model_variables(args.iter_ckpt,
+                                                dict(iter_vars))
         print(f"loaded IterModel checkpoint from {args.iter_ckpt}")
 
     @jax.jit

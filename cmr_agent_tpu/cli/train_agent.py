@@ -107,8 +107,9 @@ def main(argv=None):
     p.add_argument("--expert-beta-frac", type=float, default=0.0,
                    help="DAgger scheduled sampling: rollouts take the "
                         "expert action with probability beta annealed "
-                        "1->0 over this fraction of the run's optimizer "
-                        "steps (capped by --steps, else epochs*loader). "
+                        "1->0 over this fraction of the run's ROLLOUT "
+                        "steps (loader batches — the --steps unit; each "
+                        "runs ~B*K/ppo_batch optimizer updates). "
                         "0 = the reference's pure on-policy BC, which at "
                         "full perturbation amplitude parks early rollouts "
                         "in states whose labels are all saturated "

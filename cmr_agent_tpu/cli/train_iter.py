@@ -106,6 +106,14 @@ def main(argv=None):
     for epoch in range(cfg.epoch):
         loader.set_epoch(epoch)
         for batch in loader:
+            if args.stop_file and os.path.exists(args.stop_file):
+                save_train_checkpoint(
+                    os.path.join(ckpt_root,
+                                 f"stop-epoch-{epoch}-step-{step}"),
+                    iter_state)
+                print(f"stop-file {args.stop_file} found at step {step}; "
+                      f"checkpointed and exiting", flush=True)
+                return iter_state
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             geo_out = geo_forward(geo_vars["params"],
                                   geo_vars["batch_stats"], batch)

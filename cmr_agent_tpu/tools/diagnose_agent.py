@@ -41,6 +41,11 @@ def build_pool(cfg, args):
     if args.full:
         from ..native import get_fast_host_ops
         fps_fn, nn_fn = get_fast_host_ops()
+    if args.pool_size % args.batch_size:
+        raise SystemExit(
+            f"--pool-size {args.pool_size} must be a multiple of "
+            f"--batch-size {args.batch_size}: the loader drops ragged "
+            f"tails, which would silently shrink (or empty) the pool")
     ds = SyntheticDataset(cfg, length=args.pool_size, seed=args.seed,
                           fps_fn=fps_fn, nn_fn=nn_fn, scene=args.scene)
     loader = DataLoader(ds, args.batch_size, shuffle=False, num_workers=0,

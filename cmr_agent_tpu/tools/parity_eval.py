@@ -278,7 +278,11 @@ def fabricate_reference_checkpoints(rcfg, out_dir: str):
 # report
 # --------------------------------------------------------------------------
 
-def side_by_side(ours, theirs):
+def side_by_side(ours, theirs, paired: bool = True):
+    """``paired=False`` when the two sides ran on different samples
+    (``--reference-loader``: independent random perturbations) — per-sample
+    deltas would pair unrelated episodes and read as noise, so only the
+    aggregate blocks are comparable then."""
     from ..train import registration_metrics
 
     def block(rte, rre, ir):
@@ -290,15 +294,20 @@ def side_by_side(ours, theirs):
     o = block(*ours)
     r = block(*theirs)
     deltas = {}
-    if len(ours[0]) == len(theirs[0]):
+    if paired and len(ours[0]) == len(theirs[0]):
         deltas = {
             "rte_abs_delta_mean": float(np.mean(np.abs(
                 np.array(ours[0]) - np.array(theirs[0])))),
             "rre_abs_delta_mean": float(np.mean(np.abs(
                 np.array(ours[1]) - np.array(theirs[1])))),
         }
-    return {"ours": o, "reference": r, "per_sample_deltas": deltas,
-            "num_samples": len(ours[0])}
+    report = {"ours": o, "reference": r, "per_sample_deltas": deltas,
+              "num_samples": len(ours[0])}
+    if not paired:
+        report["per_sample_deltas"] = None
+        report["pairing"] = ("unpaired: sides ran on independent samples "
+                             "(--reference-loader); compare aggregates only")
+    return report
 
 
 def main(argv=None):
@@ -410,7 +419,8 @@ def main(argv=None):
                                ref_samples, cfg=cfg)
         print(f"reference done: mean RTE {np.mean(theirs[0]):.4f} "
               f"RRE {np.mean(theirs[1]):.4f}")
-        report = side_by_side(ours, theirs)
+        report = side_by_side(ours, theirs,
+                              paired=not args.reference_loader)
 
         if args.dry_run:
             d = report["per_sample_deltas"]

@@ -213,9 +213,17 @@ def main(argv=None):
                    help="orbax dir or reference agent.pth (agent policy)")
     p.add_argument("--sample", type=int, default=0)
     p.add_argument("--mode", default="val", choices=["train", "val", "test"])
+    p.add_argument("--pose-aware", action="store_true",
+                   help="pose-aware 3-D observation — REQUIRED for agents "
+                        "trained with --pose-aware, else the policy is "
+                        "rendered on out-of-distribution static-cloud "
+                        "observations (Config.pose_aware_observation)")
     args = p.parse_args(argv)
 
     cfg = build_config(args)
+    if args.pose_aware:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, pose_aware_observation=True)
     ds = build_dataset(cfg, args, args.mode)
     n = min(len(ds), max(args.sample + 1, 1))
     batch = collate([ds[i] for i in range(n)])

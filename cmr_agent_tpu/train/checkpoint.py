@@ -12,6 +12,7 @@ import os
 from typing import Any, Optional
 
 import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 
@@ -101,12 +102,32 @@ def restore_model_variables(path: str, template: Any) -> Any:
     return {k: out[k] for k in template if k != "step"}
 
 
+def _fastforward_schedule(opt_state: Any, step) -> Any:
+    """Set every ``ScaleByScheduleState`` count in a fresh optimizer state
+    to ``step``.
+
+    When a checkpoint carries a step but no optimizer tree, the fresh
+    optax state would restart the lr schedule from 0 while ``state.step``
+    (and the logged lr) say otherwise — training would silently run at the
+    un-decayed initial lr. Adam's own count is deliberately left fresh: its
+    moments were lost with the checkpoint, so its bias correction should
+    restart with them."""
+    import optax
+
+    is_sched = lambda s: isinstance(s, optax.ScaleByScheduleState)
+    return jax.tree.map(
+        lambda s: optax.ScaleByScheduleState(
+            count=jnp.asarray(step, jnp.int32)) if is_sched(s) else s,
+        opt_state, is_leaf=is_sched)
+
+
 def restore_train_checkpoint(path: str, state: Any):
     """Restore ``save_train_checkpoint`` output (or a legacy flat model-only
     checkpoint) onto ``state``. Returns ``(state, opt_restored)`` —
     ``opt_restored`` is False when only model weights were found, in which
     case the caller keeps the fresh optimizer state (the reference's
-    behaviour, now loud instead of silent)."""
+    behaviour, now loud instead of silent) with the lr-schedule position
+    fast-forwarded to the restored step."""
     model_path = model_tree_path(path)
     tpl = {"params": state.params, "batch_stats": state.batch_stats}
     if "step" in saved_tree_keys(model_path):
@@ -124,4 +145,6 @@ def restore_train_checkpoint(path: str, state: Any):
         o = restore_checkpoint(opt_path,
                                template={"opt_state": state.opt_state})
         return state.replace(opt_state=o["opt_state"]), True
+    state = state.replace(
+        opt_state=_fastforward_schedule(state.opt_state, state.step))
     return state, False

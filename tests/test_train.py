@@ -193,6 +193,23 @@ def test_kill_restart_resume_bitexact(tmp_path):
     restored2, opt_restored2 = restore_train_checkpoint(legacy, fresh2)
     assert not opt_restored2
     assert int(restored2.step) == int(resumed.step)
+    # ... and the fresh optimizer's lr-schedule position is fast-forwarded
+    # to the restored step: otherwise training would silently run at the
+    # un-decayed initial lr while the logged lr (computed from state.step)
+    # says otherwise
+    import optax
+    sched_counts = [int(s.count) for s in jax.tree.leaves(
+        restored2.opt_state,
+        is_leaf=lambda s: isinstance(s, optax.ScaleByScheduleState))
+        if isinstance(s, optax.ScaleByScheduleState)]
+    assert sched_counts and all(c == int(resumed.step)
+                                for c in sched_counts)
+    # Adam's count stays fresh (its moments were lost with the checkpoint)
+    adam_counts = [int(s.count) for s in jax.tree.leaves(
+        restored2.opt_state,
+        is_leaf=lambda s: isinstance(s, optax.ScaleByAdamState))
+        if isinstance(s, optax.ScaleByAdamState)]
+    assert adam_counts and all(c == 0 for c in adam_counts)
 
     # even older flat checkpoints carry no step leaf at all (pre-round-3
     # train_iter): weights restore, step stays at the fresh state's value

@@ -209,6 +209,10 @@ def main(argv=None):
     t_hist_exp = np.zeros((K, n_act), np.int64)
     sign_agree = np.zeros(K)
     zero_while_far = np.zeros(K)
+    small_while_big = np.zeros(K)      # |pol step| small when expert's big
+    big_n = np.zeros(K)
+    dir_hits = np.zeros((K, 2))        # balanced: recall per direction
+    dir_n = np.zeros((K, 2))
     n_seen = 0
     for batch in pool:
         geo_out = fwd(geo_state.params, geo_state.batch_stats, batch)
@@ -235,6 +239,18 @@ def main(argv=None):
             sign_agree[k] += (pol_dir == exp_dir).sum()
             far = np.abs(er[k] - zero_idx) >= 4        # expert wants big
             zero_while_far[k] += ((ar[k] == zero_idx) & far).sum()
+            # a constant small-step policy evades zero-while-far AND
+            # inflates raw sign-agree when the pool's expert directions
+            # are imbalanced (observed on run G's collapsed snapshot:
+            # 100% mass on -2.5 deg scored 0.75 sign-agree). Track the
+            # magnitude miss and the per-direction (balanced) recall.
+            small_while_big[k] += ((np.abs(ar[k] - zero_idx) <= 2)
+                                   & far).sum()
+            big_n[k] += far.sum()
+            for d, col in ((-1, 0), (1, 1)):
+                want = exp_dir == d
+                dir_hits[k, col] += (pol_dir[want] == d).sum()
+                dir_n[k, col] += want.sum()
         n_seen += ar.shape[1]
 
     rte = np.concatenate(rte_all, axis=1)              # [K+1, total]
@@ -257,11 +273,20 @@ def main(argv=None):
           f"{', flipped convention' if oracle_flip else ''}): "
           f"{max(acc, 1 - acc):.2f} overall")
     print("\nstep |  RTE(m)  RRE(deg) | raster-occ | r sign-agree"
-          "  r0-while-far  oracle-dir")
+          "  r-bal-dir  r-small-while-big  r0-while-far  oracle-dir")
     for k in range(K + 1):
         tail = ""
         if k < K:
+            # balanced direction recall: mean of per-direction recalls
+            # over the directions the expert actually used — 0.5 for any
+            # state-independent policy, however imbalanced the pool
+            recs = [dir_hits[k, c] / dir_n[k, c] for c in (0, 1)
+                    if dir_n[k, c] > 0]
+            bal = np.mean(recs) if recs else np.nan
+            swb = (small_while_big[k] / big_n[k] if big_n[k] else np.nan)
             tail = (f" | {sign_agree[k] / n_seen:10.2f}"
+                    f" {bal:9.2f}"
+                    f" {swb:17.2f}"
                     f" {zero_while_far[k] / n_seen:12.2f}"
                     f" {oracle[k]:11.2f}")
         print(f"{k:4d} | {rte[k].mean():7.3f} {rre[k].mean():8.2f}"

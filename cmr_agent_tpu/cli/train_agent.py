@@ -114,18 +114,32 @@ def main(argv=None):
                         "full perturbation amplitude parks early rollouts "
                         "in states whose labels are all saturated "
                         "max-steps (docs/CONVERGENCE.md)")
+    p.add_argument("--expert-beta-floor", type=float, default=0.0,
+                   help="lower bound on beta: with --expert-beta-frac the "
+                        "anneal stops here instead of 0; alone it mixes a "
+                        "constant expert fraction into every rollout "
+                        "(docs/CONVERGENCE.md runs E-I)")
     p.add_argument("--pose-aware", action="store_true",
                    help="pose-aware 3-D observation: the point branch sees "
                         "the cloud under the CURRENT pose estimate instead "
                         "of the reference's static cloud (see "
                         "Config.pose_aware_observation)")
+    p.add_argument("--lr", type=float, default=None,
+                   help="override cfg.lr (the full-amplitude campaign's "
+                        "stable zone is ~2e-5..3e-4, docs/CONVERGENCE.md "
+                        "section 5; the reference default 1e-3 is above it)")
     args = p.parse_args(argv)
     maybe_initialize_distributed(args)
 
     cfg = build_config(args)
-    if args.pose_aware:
+    if args.pose_aware or args.lr is not None:
         import dataclasses
-        cfg = dataclasses.replace(cfg, pose_aware_observation=True)
+        over = {}
+        if args.pose_aware:
+            over["pose_aware_observation"] = True
+        if args.lr is not None:
+            over["lr"] = args.lr
+        cfg = dataclasses.replace(cfg, **over)
     set_seed(cfg.seed)
 
     train_ds = build_dataset(cfg, args, "train")
@@ -229,12 +243,16 @@ def main(argv=None):
 
                 geo_out = geo_forward(geo_vars["params"], geo_vars["batch_stats"],
                                       batch)
-                if args.expert_beta_frac > 0:
-                    total = (args.steps if args.steps
-                             else cfg.epoch * max(len(train_loader), 1))
-                    ramp = max(1.0, args.expert_beta_frac * total)
-                    beta = jnp.asarray(max(0.0, 1.0 - global_step / ramp),
-                                       jnp.float32)
+                if args.expert_beta_frac > 0 or args.expert_beta_floor > 0:
+                    if args.expert_beta_frac > 0:
+                        total = (args.steps if args.steps
+                                 else cfg.epoch * max(len(train_loader), 1))
+                        ramp = max(1.0, args.expert_beta_frac * total)
+                        annealed = 1.0 - global_step / ramp
+                    else:     # floor-only: constant mixing from step 0
+                        annealed = 0.0
+                    beta = jnp.asarray(
+                        max(args.expert_beta_floor, annealed), jnp.float32)
                     traj, _, _ = rollout(agent_state, geo_out, batch,
                                          jax.random.key(global_step), beta)
                 else:

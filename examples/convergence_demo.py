@@ -363,6 +363,9 @@ def main(argv=None):
             rte_all += np.asarray(rte).tolist()
             rre_all += np.asarray(rre).tolist()
         if detail:
+            # mean RRE is dominated by wrap-region stragglers (a single
+            # yaw~180 sample reads ~360 on the euler-sum metric); median +
+            # solved count tell "half solved" apart from "uniformly stuck"
             rte_a, rre_a = np.asarray(rte_all), np.asarray(rre_all)
             solved = int(((rre_a < 10.0) & (rte_a < 5.0)).sum())
             print(f"[val-detail] solved(RR thresholds) {solved}/{len(rte_a)}"
@@ -430,7 +433,7 @@ def main(argv=None):
             buffer.clear()
             print(f"[agent] step {i:3d} bc_loss {bc_last:.4f}", flush=True)
         if (i + 1) % val_every == 0 or i == args.agent_steps - 1:
-            v_rte, v_rre = eval_agent(agent_state)
+            v_rte, v_rre = eval_agent(agent_state, detail=True)
             score = v_rre + 2.0 * v_rte
             mark = " *" if score < best_score else ""
             # per-head expert agreement on one val batch: splits "policy

@@ -47,13 +47,22 @@ def main(argv=None):
                    help="evaluate with the pose-aware 3-D observation — "
                         "REQUIRED for agents trained with it "
                         "(Config.pose_aware_observation)")
+    p.add_argument("--obs-bearing", action="store_true",
+                   help="bearing observation channels — REQUIRED for "
+                        "agents trained with them "
+                        "(Config.obs_bearing_channels)")
     args = p.parse_args(argv)
     maybe_initialize_distributed(args)
 
     cfg = build_config(args)
-    if args.pose_aware:
+    if args.pose_aware or args.obs_bearing:
         import dataclasses
-        cfg = dataclasses.replace(cfg, pose_aware_observation=True)
+        over = {}
+        if args.pose_aware:
+            over["pose_aware_observation"] = True
+        if args.obs_bearing:
+            over["obs_bearing_channels"] = True
+        cfg = dataclasses.replace(cfg, **over)
     set_seed(cfg.seed)
 
     test_ds = build_dataset(cfg, args, "test")
@@ -68,7 +77,7 @@ def main(argv=None):
     h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
     agent_state = create_agent_state(
         cfg, jnp.zeros((args.eval_batch_size, h, w, 2 * f)),
-        jnp.zeros((args.eval_batch_size, cfg.num_pt, 5)),
+        jnp.zeros((args.eval_batch_size, cfg.num_pt, cfg.obs3d_channels)),
         jax.random.key(0))
     if args.agent_ckpt:
         template = {"params": agent_state.params,

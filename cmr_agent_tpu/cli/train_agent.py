@@ -124,6 +124,11 @@ def main(argv=None):
                         "the cloud under the CURRENT pose estimate instead "
                         "of the reference's static cloud (see "
                         "Config.pose_aware_observation)")
+    p.add_argument("--obs-bearing", action="store_true",
+                   help="append the overlap-sector bearing (unit x,z of "
+                        "its centroid under the current estimate) as two "
+                        "3-D observation channels "
+                        "(Config.obs_bearing_channels)")
     p.add_argument("--lr", type=float, default=None,
                    help="override cfg.lr (the full-amplitude campaign's "
                         "stable zone is ~2e-5..3e-4, docs/CONVERGENCE.md "
@@ -132,11 +137,13 @@ def main(argv=None):
     maybe_initialize_distributed(args)
 
     cfg = build_config(args)
-    if args.pose_aware or args.lr is not None:
+    if args.pose_aware or args.obs_bearing or args.lr is not None:
         import dataclasses
         over = {}
         if args.pose_aware:
             over["pose_aware_observation"] = True
+        if args.obs_bearing:
+            over["obs_bearing_channels"] = True
         if args.lr is not None:
             over["lr"] = args.lr
         cfg = dataclasses.replace(cfg, **over)
@@ -158,7 +165,7 @@ def main(argv=None):
     h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
     agent_state = create_agent_state(
         cfg, jnp.zeros((cfg.train_batch_size, h, w, 2 * f)),
-        jnp.zeros((cfg.train_batch_size, cfg.num_pt, 5)),
+        jnp.zeros((cfg.train_batch_size, cfg.num_pt, cfg.obs3d_channels)),
         jax.random.key(cfg.seed),
         steps_per_epoch=agent_updates_per_epoch(cfg, len(train_loader)))
     if args.resume:

@@ -136,6 +136,22 @@ class Config:
     # The moved cloud is a strict information upgrade (same 5 channels) and
     # changes every step. Off by default: parity with the reference.
     pose_aware_observation: bool = False
+    # Bearing channels: append the unit (x, z) heading of the
+    # predicted-overlap sector's centroid under the current estimate as
+    # two constant per-point channels of the 3-D observation (7 channels
+    # total). The full-amplitude campaign showed the expert's yaw
+    # DIRECTION is an ~0.88-accurate two-layer function of this statistic
+    # (docs/CONVERGENCE.md section 9, the diagnose_agent oracle) while
+    # trained policies kept guessing it — a max-pool PointNet is poorly
+    # shaped to compute a masked mean itself. Off by default: parity (the
+    # converter covers only the 5-channel reference layout).
+    obs_bearing_channels: bool = False
+
+    @property
+    def obs3d_channels(self) -> int:
+        """3-D observation channel count: xyz + overlap + in_cam (+2
+        bearing channels when ``obs_bearing_channels``)."""
+        return 5 + (2 if self.obs_bearing_channels else 0)
 
     # <----------- derived geometry ---------->
     @property

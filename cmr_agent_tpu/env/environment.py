@@ -71,7 +71,8 @@ def compact_observation_state(state, k: int):
 
 def observation_from_pose(feats, pose, image_h: int, image_w: int,
                           use_pallas=None, raster_dtype=None,
-                          pose_aware: bool = False):
+                          pose_aware: bool = False,
+                          bearing_channels: bool = False):
     """Render the 2-D and 3-D observations under the current pose estimate.
 
     Args:
@@ -82,9 +83,18 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int,
       pose_aware: feed the 3-D observation the cloud transformed by the
         current estimate instead of the reference's static cloud
         (``cfg.pose_aware_observation`` — see the config comment for why).
+      bearing_channels: append the unit (x, z) bearing of the
+        predicted-overlap sector's centroid under the current estimate as
+        two constant per-point channels (``cfg.obs_bearing_channels``).
+        Motivation (docs/CONVERGENCE.md section 9): at full +-pi yaw the
+        expert's rotation direction is an 0.86-0.88-accurate two-layer
+        function of exactly this statistic (the diagnose_agent oracle),
+        but trained policies kept flipping a coin on direction — handing
+        the max-pool PointNet a mean-statistic it is poorly shaped to
+        compute itself.
 
     Returns:
-      ``(observation_2d [B,H,W,2F], observation_3d [B,N,5])``.
+      ``(observation_2d [B,H,W,2F], observation_3d [B,N,5 (+2)])``.
     """
     pc = feats["pc"]
     K = feats["K"]
@@ -133,9 +143,17 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int,
     observation_2d = jnp.concatenate([feats["img_geo_feat"], proj_feat],
                                      axis=-1)
     obs_pc = moved_full if pose_aware else pc
-    observation_3d = jnp.concatenate(
-        [obs_pc, overlap[..., None].astype(pc.dtype),
-         in_cam[..., None].astype(pc.dtype)], axis=-1)
+    channels = [obs_pc, overlap[..., None].astype(pc.dtype),
+                in_cam[..., None].astype(pc.dtype)]
+    if bearing_channels:
+        w = overlap.astype(pc.dtype)[..., None]              # [B,N,1]
+        denom = jnp.maximum(w.sum(axis=1), 1.0)              # [B,1]
+        cxz = (moved_full[..., (0, 2)] * w).sum(axis=1) / denom   # [B,2]
+        unit = cxz / (jnp.linalg.norm(cxz, axis=-1, keepdims=True) + 1e-6)
+        channels.append(jnp.broadcast_to(unit[:, None, :],
+                                         (*obs_pc.shape[:2], 2)
+                                         ).astype(pc.dtype))
+    observation_3d = jnp.concatenate(channels, axis=-1)
     return observation_2d, observation_3d
 
 

@@ -112,7 +112,8 @@ def run_episode(
         obs2d, obs3d = observation_from_pose(
             state, pose, cfg.image_h, cfg.image_w,
             use_pallas=cfg.use_pallas, raster_dtype=raster_dtype,
-            pose_aware=cfg.pose_aware_observation)
+            pose_aware=cfg.pose_aware_observation,
+            bearing_channels=cfg.obs_bearing_channels)
         r_logits, t_logits, value = agent_apply(agent_vars, obs2d, obs3d)
 
         new_key, sub = jax.random.split(carry.key)

@@ -137,6 +137,9 @@ def main(argv=None):
                    help="omit to diagnose an untrained agent")
     p.add_argument("--pose-aware", action="store_true",
                    help="must match how the snapshot was trained")
+    p.add_argument("--obs-bearing", action="store_true",
+                   help="must match how the snapshot was trained "
+                        "(Config.obs_bearing_channels)")
     p.add_argument("--t-amp", type=float, default=None)
     p.add_argument("--r-amp", type=float, default=None)
     args = p.parse_args(argv)
@@ -148,6 +151,8 @@ def main(argv=None):
         over.update(p_ry_amplitude=args.r_amp)
     if args.pose_aware:
         over.update(pose_aware_observation=True)
+    if args.obs_bearing:
+        over.update(obs_bearing_channels=True)
     if args.full:
         from ..config import kitti_config
         jax.config.update("jax_compilation_cache_dir", "/tmp/cmr_jax_cache")
@@ -176,7 +181,7 @@ def main(argv=None):
     h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
     agent_state = create_agent_state(
         cfg, jnp.zeros((args.batch_size, h, w, 2 * f)),
-        jnp.zeros((args.batch_size, cfg.num_pt, 5)), jax.random.key(1))
+        jnp.zeros((args.batch_size, cfg.num_pt, cfg.obs3d_channels)), jax.random.key(1))
     if args.agent_ckpt:
         av = restore_model_variables(
             args.agent_ckpt, {"params": agent_state.params,

@@ -169,7 +169,8 @@ def run_and_render(cfg, batch, out_dir: str, policy: str = "expert",
                 obs2d, obs3d = observation_from_pose(
                     state, jnp.asarray(pose), cfg.image_h, cfg.image_w,
                     use_pallas=cfg.use_pallas,
-                    pose_aware=cfg.pose_aware_observation)
+                    pose_aware=cfg.pose_aware_observation,
+                    bearing_channels=cfg.obs_bearing_channels)
                 rl, tl, _ = apply_fn(avars, obs2d, obs3d)
                 ar = jnp.argmax(rl, axis=-1)
                 at = jnp.argmax(tl, axis=-1)
@@ -218,12 +219,20 @@ def main(argv=None):
                         "trained with --pose-aware, else the policy is "
                         "rendered on out-of-distribution static-cloud "
                         "observations (Config.pose_aware_observation)")
+    p.add_argument("--obs-bearing", action="store_true",
+                   help="bearing observation channels — must match how "
+                        "the agent was trained (Config.obs_bearing_channels)")
     args = p.parse_args(argv)
 
     cfg = build_config(args)
-    if args.pose_aware:
+    if args.pose_aware or args.obs_bearing:
         import dataclasses
-        cfg = dataclasses.replace(cfg, pose_aware_observation=True)
+        over = {}
+        if args.pose_aware:
+            over["pose_aware_observation"] = True
+        if args.obs_bearing:
+            over["obs_bearing_channels"] = True
+        cfg = dataclasses.replace(cfg, **over)
     ds = build_dataset(cfg, args, args.mode)
     n = min(len(ds), max(args.sample + 1, 1))
     batch = collate([ds[i] for i in range(n)])
@@ -247,7 +256,7 @@ def main(argv=None):
         h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
         agent_state = create_agent_state(
             cfg, jnp.zeros((1, h, w, 2 * f)),
-            jnp.zeros((1, cfg.num_pt, 5)), jax.random.key(0))
+            jnp.zeros((1, cfg.num_pt, cfg.obs3d_channels)), jax.random.key(0))
         if args.policy == "agent" and args.agent_ckpt:
             template = {"params": agent_state.params,
                         "batch_stats": agent_state.batch_stats}

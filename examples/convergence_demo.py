@@ -125,6 +125,13 @@ def main(argv=None):
                         "observations differ even when a large yaw error "
                         "empties the raster — the repeat-action translation "
                         "runaway of runs D/E cannot occur")
+    p.add_argument("--obs-bearing", action="store_true",
+                   help="append the overlap-sector bearing (unit x,z of "
+                        "its centroid under the current estimate) as two "
+                        "3-D observation channels — the diagnose_agent "
+                        "oracle shows yaw direction is an ~0.88-accurate "
+                        "function of this statistic while trained "
+                        "policies guess it (docs/CONVERGENCE.md sec. 9)")
     p.add_argument("--lr", type=float, default=None,
                    help="override cfg.lr for BOTH stages")
     p.add_argument("--lr-epoch-steps", type=int, default=0,
@@ -180,6 +187,8 @@ def main(argv=None):
         amp.update(alpha=args.alpha)
     if args.pose_aware:
         amp.update(pose_aware_observation=True)
+    if args.obs_bearing:
+        amp.update(obs_bearing_channels=True)
     if args.lr is not None:
         amp.update(lr=args.lr)
 
@@ -309,7 +318,7 @@ def main(argv=None):
     h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
     agent_state = create_agent_state(
         cfg, jnp.zeros((args.batch_size, h, w, 2 * f)),
-        jnp.zeros((args.batch_size, cfg.num_pt, 5)), jax.random.key(1),
+        jnp.zeros((args.batch_size, cfg.num_pt, cfg.obs3d_channels)), jax.random.key(1),
         steps_per_epoch=args.lr_epoch_steps or 1000)
     # deep-copy: the PPO update donates its input state's buffers
     untrained = jax.tree.map(jnp.copy, agent_state)

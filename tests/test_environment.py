@@ -194,6 +194,71 @@ def test_pose_aware_observation():
     # to float association, not bitwise
     np.testing.assert_allclose(np.asarray(a3d), np.asarray(b3d), atol=1e-5)
 
+    # ---- bearing channels (Config.obs_bearing_channels) ----
+    c2d, c3d = observation_from_pose(jstate, pose, h, w, pose_aware=True,
+                                     bearing_channels=True)
+    assert c3d.shape == (B, N, 7)
+    # first 5 channels identical to the bearing-less observation
+    np.testing.assert_array_equal(np.asarray(c3d[..., :5]),
+                                  np.asarray(got3d))
+    # numpy oracle: unit (x, z) of the overlap-sector centroid of the
+    # MOVED cloud, constant across points within a sample
+    m = np.asarray(moved)
+    wgt = state["pc_overlap_pred"].astype(np.float64)
+    cx = (m[..., 0] * wgt).sum(1) / np.maximum(wgt.sum(1), 1.0)
+    cz = (m[..., 2] * wgt).sum(1) / np.maximum(wgt.sum(1), 1.0)
+    nrm = np.sqrt(cx**2 + cz**2) + 1e-6
+    want = np.stack([cx / nrm, cz / nrm], axis=-1)          # [B, 2]
+    got_bear = np.asarray(c3d[..., 5:])
+    assert np.abs(got_bear - got_bear[:, :1, :]).max() == 0   # constant
+    np.testing.assert_allclose(got_bear[:, 0, :], want, atol=1e-5)
+    # all-empty overlap must not NaN
+    empty = dict(jstate, pc_overlap_pred=jnp.zeros((B, N), bool))
+    _, e3d = observation_from_pose(empty, pose, h, w, pose_aware=True,
+                                   bearing_channels=True)
+    assert np.isfinite(np.asarray(e3d)).all()
+
+
+def test_episode_with_bearing_channels():
+    """run_episode end-to-end with obs_bearing_channels: the agent sees a
+    7-channel 3-D observation and the scan compiles and steps."""
+    import dataclasses
+    from cmr_agent_tpu.config import tiny_config
+    from cmr_agent_tpu.data import SyntheticDataset, collate
+    from cmr_agent_tpu.models import MultiHeadModel, CMRAgent
+    from cmr_agent_tpu.env import init_poses, run_episode
+    from cmr_agent_tpu.ops import to_disentangled
+
+    cfg = dataclasses.replace(tiny_config(), pose_aware_observation=True,
+                              obs_bearing_channels=True)
+    assert cfg.obs3d_channels == 7
+    ds = SyntheticDataset(cfg, length=2)
+    batch = {k: jnp.asarray(v) for k, v in
+             collate([ds[0], ds[1]]).items()}
+    model = MultiHeadModel(cfg)
+    gv = model.init({"params": jax.random.key(0),
+                     "dropout": jax.random.key(1)}, batch, train=False,
+                    with_loss=False)
+    out = model.apply(gv, batch, train=False, with_loss=False)
+    state = {"pc": out["pc"], "K": batch["K"],
+             "pc_overlap_pred": out["pc_overlap_pred"],
+             "pc_geo_feat": out["pc_geo_feat"],
+             "img_geo_feat": out["img_geo_feat"],
+             "pc_in_cam_space": batch["pc_in_cam_space"],
+             "pc_mask": batch["pc_mask"], "P": batch["P"]}
+    agent = CMRAgent(cfg)
+    av = agent.init({"params": jax.random.key(2)},
+                    jnp.zeros((2, cfg.image_h, cfg.image_w,
+                               2 * cfg.embed_dim)),
+                    jnp.zeros((2, cfg.num_pt, cfg.obs3d_channels)),
+                    train=False)
+    pose_src, pose_tgt = init_poses(state)
+    pose_tgt = to_disentangled(pose_tgt, state["pc"])
+    apply_fn = lambda v, o2, o3: agent.apply(v, o2, o3, train=False)
+    final, _ = run_episode(apply_fn, av, state, pose_src, pose_tgt, cfg,
+                           deterministic=True)
+    assert np.isfinite(np.asarray(final)).all()
+
 
 def test_reward_improves_toward_target():
     rng = np.random.default_rng(3)

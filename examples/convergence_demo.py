@@ -164,6 +164,11 @@ def main(argv=None):
     p.add_argument("--val-every", type=int, default=0,
                    help="validate (and consider a best snapshot) every N "
                         "agent steps; 0 = max(10, agent_steps/8)")
+    p.add_argument("--select-median", action="store_true",
+                   help="pick the best-validation snapshot by (solved "
+                        "scenes, median RRE + 2*median RTE) instead of the "
+                        "outlier-dominated mean score (CONVERGENCE.md "
+                        "section 9)")
     p.add_argument("--stop-file", default="",
                    help="graceful stop: when this file appears, finish the "
                         "current step, run the final evaluation and save "
@@ -371,16 +376,20 @@ def main(argv=None):
             _, rte, rre = val(state, geo_out, batch)
             rte_all += np.asarray(rte).tolist()
             rre_all += np.asarray(rre).tolist()
+        rte_a, rre_a = np.asarray(rte_all), np.asarray(rre_all)
+        stats = {"median_rte": float(np.median(rte_a)),
+                 "median_rre": float(np.median(rre_a)),
+                 "solved": int(((rre_a < 10.0) & (rte_a < 5.0)).sum()),
+                 "n": len(rte_a)}
         if detail:
             # mean RRE is dominated by wrap-region stragglers (a single
             # yaw~180 sample reads ~360 on the euler-sum metric); median +
             # solved count tell "half solved" apart from "uniformly stuck"
-            rte_a, rre_a = np.asarray(rte_all), np.asarray(rre_all)
-            solved = int(((rre_a < 10.0) & (rte_a < 5.0)).sum())
-            print(f"[val-detail] solved(RR thresholds) {solved}/{len(rte_a)}"
-                  f"  median RTE {np.median(rte_a):.2f}"
-                  f"  median RRE {np.median(rre_a):.2f}", flush=True)
-        return float(np.mean(rte_all)), float(np.mean(rre_all))
+            print(f"[val-detail] solved(RR thresholds) "
+                  f"{stats['solved']}/{stats['n']}"
+                  f"  median RTE {stats['median_rte']:.2f}"
+                  f"  median RRE {stats['median_rre']:.2f}", flush=True)
+        return float(np.mean(rte_all)), float(np.mean(rre_all)), stats
 
     # Best-validation selection over the run, like the reference's
     # save-on-improvement protocol (Train_Agent.py:170-212): on-policy BC
@@ -388,7 +397,7 @@ def main(argv=None):
     # val snapshot, not the final step. Score weights RRE:RTE as the
     # registration-recall thresholds do (10 deg : 5 m).
     val_every = args.val_every or max(10, args.agent_steps // 8)
-    best_score, best_snap = np.inf, None
+    best_score, best_snap = (np.inf, np.inf), None
 
     def cur_scale(i: int) -> float:
         """Curriculum amplitude scale at agent step ``i`` (0.15 -> 1.0)."""
@@ -442,8 +451,18 @@ def main(argv=None):
             buffer.clear()
             print(f"[agent] step {i:3d} bc_loss {bc_last:.4f}", flush=True)
         if (i + 1) % val_every == 0 or i == args.agent_steps - 1:
-            v_rte, v_rre = eval_agent(agent_state, detail=True)
-            score = v_rre + 2.0 * v_rte
+            v_rte, v_rre, v_stats = eval_agent(agent_state, detail=True)
+            if args.select_median:
+                # lexicographic: maximise solved scenes (the actual RR
+                # target), tie-break by the outlier-robust median score.
+                # Run K's mean-based selection picked a step-1199 snapshot
+                # over step-4199/4799 ones with 4x the expert agreement
+                # because the mean is dominated by the wrap-region
+                # stragglers (docs/CONVERGENCE.md section 9).
+                score = (-v_stats["solved"],
+                         v_stats["median_rre"] + 2.0 * v_stats["median_rte"])
+            else:
+                score = (0, v_rre + 2.0 * v_rte)
             mark = " *" if score < best_score else ""
             # per-head expert agreement on one val batch: splits "policy
             # can't infer rotation" from "can't infer translation" (run D
@@ -525,8 +544,8 @@ def main(argv=None):
 
     u_agree = eval_agreement(untrained)
     t_agree = eval_agreement(agent_state)
-    u_rte, u_rre = eval_agent(untrained, detail=True)
-    t_rte, t_rre = eval_agent(agent_state, detail=True)
+    u_rte, u_rre, _ = eval_agent(untrained, detail=True)
+    t_rte, t_rre, _ = eval_agent(agent_state, detail=True)
     e_rte, e_rre = eval_expert()
     print("\n                 expert-agreement   RTE (m)   RRE (deg)")
     print(f"untrained agent        {u_agree:6.1%}   {u_rte:8.3f} {u_rre:10.3f}")

@@ -22,6 +22,9 @@ def test_demo_refresh_curriculum_heldout_val(tmp_path):
               # explicit lr pacing + incremental best-snapshot persistence
               "--amp-mixture", "--expert-beta-floor", "0.2", "--pose-aware",
               "--lr-epoch-steps", "50", "--val-every", "2",
+              # run-K/L machinery: bearing obs channels + median-based
+              # snapshot selection
+              "--obs-bearing", "--select-median",
               "--save-agent", save])
     # the best snapshot was persisted incrementally (not only at exit)
     import os

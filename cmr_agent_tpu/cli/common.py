@@ -130,6 +130,26 @@ def build_config(args) -> Config:
     return kitti_config(args.data_root, **overrides)
 
 
+def apply_obs_overrides(cfg: Config, args) -> Config:
+    """Fold the gated observation/optimizer flags into the config.
+
+    Reads whichever of ``--pose-aware``/``--obs-bearing``/``--lr`` the
+    calling parser defines (absent attributes are skipped), so every CLI
+    shares one block instead of keeping a per-site guard condition and
+    override body in sync for each new flag.
+    """
+    import dataclasses
+
+    over = {}
+    if getattr(args, "pose_aware", False):
+        over["pose_aware_observation"] = True
+    if getattr(args, "obs_bearing", False):
+        over["obs_bearing_channels"] = True
+    if getattr(args, "lr", None) is not None:
+        over["lr"] = args.lr
+    return dataclasses.replace(cfg, **over) if over else cfg
+
+
 def build_dataset(cfg: Config, args, mode: str):
     from ..data import KittiDataset, NuScenesDataset, SyntheticDataset
     from ..native import get_fast_host_ops

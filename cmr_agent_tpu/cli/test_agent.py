@@ -25,7 +25,8 @@ from ..train import (create_agent_state, make_val_episode_fn,
                      restore_model_variables,
                      registration_metrics, convert_torch_agent)
 from ..train.train_geo import make_geo_forward
-from .common import (add_common_args, build_config, build_dataset,
+from .common import (add_common_args, apply_obs_overrides,
+                     build_config, build_dataset,
                      make_loader, maybe_initialize_distributed, set_seed)
 from .train_agent import load_geo_variables
 
@@ -54,15 +55,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     maybe_initialize_distributed(args)
 
-    cfg = build_config(args)
-    if args.pose_aware or args.obs_bearing:
-        import dataclasses
-        over = {}
-        if args.pose_aware:
-            over["pose_aware_observation"] = True
-        if args.obs_bearing:
-            over["obs_bearing_channels"] = True
-        cfg = dataclasses.replace(cfg, **over)
+    cfg = apply_obs_overrides(build_config(args), args)
     set_seed(cfg.seed)
 
     test_ds = build_dataset(cfg, args, "test")

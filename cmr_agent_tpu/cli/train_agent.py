@@ -31,7 +31,8 @@ from ..train import (create_agent_state, make_rollout_fn,
                      restore_model_variables, MetricLogger,
                      convert_torch_multihead)
 from ..train.train_geo import make_geo_forward
-from .common import (add_common_args, build_config, build_dataset,
+from .common import (add_common_args, apply_obs_overrides,
+                     build_config, build_dataset,
                      make_loader, maybe_initialize_distributed, set_seed)
 
 
@@ -136,17 +137,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     maybe_initialize_distributed(args)
 
-    cfg = build_config(args)
-    if args.pose_aware or args.obs_bearing or args.lr is not None:
-        import dataclasses
-        over = {}
-        if args.pose_aware:
-            over["pose_aware_observation"] = True
-        if args.obs_bearing:
-            over["obs_bearing_channels"] = True
-        if args.lr is not None:
-            over["lr"] = args.lr
-        cfg = dataclasses.replace(cfg, **over)
+    cfg = apply_obs_overrides(build_config(args), args)
     set_seed(cfg.seed)
 
     train_ds = build_dataset(cfg, args, "train")

@@ -78,7 +78,8 @@ def run_episode(
     Returns:
       ``(final_pose [B,4,4], trajectory dict or None)``. Trajectory tensors
       are stacked over the step axis: ``state_2d [K,B,H,W,2F]``,
-      ``state_3d [K,B,N,5]``, ``value/reward [K,B,1,1]``,
+      ``state_3d [K,B,N,5]`` (``[K,B,N,7]`` with
+      ``cfg.obs_bearing_channels``), ``value/reward [K,B,1,1]``,
       ``expert_action_r/t``, ``action_r/t``, ``action_logprob [K,B,dr+dt]``.
     """
     r_steps = jnp.asarray(cfg.r_steps_array())

@@ -284,7 +284,9 @@ def main(argv=None):
         if k < K:
             # balanced direction recall: mean of per-direction recalls
             # over the directions the expert actually used — 0.5 for any
-            # state-independent policy, however imbalanced the pool
+            # constant nonzero-direction policy, however imbalanced the
+            # pool (a zero-action collapse scores 0.0 on both recalls,
+            # which is itself diagnostic)
             recs = [dir_hits[k, c] / dir_n[k, c] for c in (0, 1)
                     if dir_n[k, c] > 0]
             bal = np.mean(recs) if recs else np.nan

@@ -200,7 +200,8 @@ def run_and_render(cfg, batch, out_dir: str, policy: str = "expert",
 
 
 def main(argv=None):
-    from ..cli.common import add_common_args, build_config, build_dataset
+    from ..cli.common import (add_common_args, apply_obs_overrides,
+                              build_config, build_dataset)
     from ..data import collate
 
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
@@ -224,15 +225,7 @@ def main(argv=None):
                         "the agent was trained (Config.obs_bearing_channels)")
     args = p.parse_args(argv)
 
-    cfg = build_config(args)
-    if args.pose_aware or args.obs_bearing:
-        import dataclasses
-        over = {}
-        if args.pose_aware:
-            over["pose_aware_observation"] = True
-        if args.obs_bearing:
-            over["obs_bearing_channels"] = True
-        cfg = dataclasses.replace(cfg, **over)
+    cfg = apply_obs_overrides(build_config(args), args)
     ds = build_dataset(cfg, args, args.mode)
     n = min(len(ds), max(args.sample + 1, 1))
     batch = collate([ds[i] for i in range(n)])

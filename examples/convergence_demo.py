@@ -180,6 +180,14 @@ def main(argv=None):
                         "(fixed seed, disjoint from training); 0 = "
                         "historical behaviour (validate on the train pool)")
     args = p.parse_args(argv)
+    if args.select_median and not args.val_size:
+        # without a held-out pool, eval_agent scores the *train* pool,
+        # which --refresh-every/--curriculum regenerate at varying
+        # difficulty — solved counts across pools of different difficulty
+        # are not comparable, so the lexicographic selection would freeze
+        # on the easiest pool
+        p.error("--select-median requires --val-size (a fixed held-out "
+                "validation pool)")
 
     amp = {}
     if args.t_amp is not None:
@@ -463,6 +471,11 @@ def main(argv=None):
                          v_stats["median_rre"] + 2.0 * v_stats["median_rte"])
             else:
                 score = (0, v_rre + 2.0 * v_rte)
+            # a diverged validation (NaN) must never win: with tuple scores
+            # (0, nan) < (inf, inf) is True on the constant first element,
+            # unlike the old scalar nan < inf
+            if not all(np.isfinite(s) for s in score):
+                score = best_score
             mark = " *" if score < best_score else ""
             # per-head expert agreement on one val batch: splits "policy
             # can't infer rotation" from "can't infer translation" (run D

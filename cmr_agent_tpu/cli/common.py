@@ -145,6 +145,11 @@ def apply_obs_overrides(cfg: Config, args) -> Config:
         over["pose_aware_observation"] = True
     if getattr(args, "obs_bearing", False):
         over["obs_bearing_channels"] = True
+    if getattr(args, "aux_head", False):
+        # the aux head reads the bearing channels out of state_3d, so it
+        # implies them
+        over["obs_bearing_channels"] = True
+        over["policy_aux_state"] = True
     if getattr(args, "lr", None) is not None:
         over["lr"] = args.lr
     return dataclasses.replace(cfg, **over) if over else cfg

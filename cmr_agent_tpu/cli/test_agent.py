@@ -52,6 +52,10 @@ def main(argv=None):
                    help="bearing observation channels — REQUIRED for "
                         "agents trained with them "
                         "(Config.obs_bearing_channels)")
+    p.add_argument("--aux-head", action="store_true",
+                   help="feed the bearing statistic straight into the "
+                        "policy/value heads (Config.policy_aux_state; "
+                        "implies --obs-bearing)")
     args = p.parse_args(argv)
     maybe_initialize_distributed(args)
 

@@ -130,6 +130,10 @@ def main(argv=None):
                         "its centroid under the current estimate) as two "
                         "3-D observation channels "
                         "(Config.obs_bearing_channels)")
+    p.add_argument("--aux-head", action="store_true",
+                   help="feed the bearing statistic straight into the "
+                        "policy/value heads (Config.policy_aux_state; "
+                        "implies --obs-bearing)")
     p.add_argument("--lr", type=float, default=None,
                    help="override cfg.lr (the full-amplitude campaign's "
                         "stable zone is ~2e-5..3e-4, docs/CONVERGENCE.md "

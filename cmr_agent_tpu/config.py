@@ -146,6 +146,16 @@ class Config:
     # shaped to compute a masked mean itself. Off by default: parity (the
     # converter covers only the 5-channel reference layout).
     obs_bearing_channels: bool = False
+    # Feed the bearing statistic (the constant channels above) straight
+    # into the 256-d state that the policy/value MLP heads read, instead
+    # of relying on it to survive the 4-stage max-pool PointNet: run K
+    # showed the policy uses the bearing (it commits to big rotation
+    # steps) but direction recall plateaus at ~0.5 while the bearing
+    # oracle reads 0.75+ on the same scenes (docs/CONVERGENCE.md
+    # section 9). Requires obs_bearing_channels. Off by default: parity
+    # (the head width changes, so the converter covers only the
+    # reference layout).
+    policy_aux_state: bool = False
 
     @property
     def obs3d_channels(self) -> int:

@@ -143,6 +143,17 @@ class CMRAgent(nn.Module):
         embed_2d = x.reshape(x.shape[0], -1)                     # [B, 2f]
 
         state = jnp.concatenate([embed_2d, embed_3d], axis=-1)   # [B, 4f]
+        if cfg.policy_aux_state:
+            # the bearing channels (state_3d[..., 5:]) are constant per
+            # sample, so any point's row carries the full statistic; feed
+            # it straight to the heads instead of through the max-pool
+            # stack (Config.policy_aux_state)
+            if state_3d.shape[-1] < 6:
+                raise ValueError(
+                    "policy_aux_state requires the bearing observation "
+                    "channels (obs_bearing_channels=True -> state_3d "
+                    f"[B,N,7]); got {state_3d.shape[-1]} channels")
+            state = jnp.concatenate([state, state_3d[:, 0, 5:]], axis=-1)
 
         def mlp_head(widths, out_dim, name):
             h = state

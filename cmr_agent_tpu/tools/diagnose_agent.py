@@ -140,6 +140,9 @@ def main(argv=None):
     p.add_argument("--obs-bearing", action="store_true",
                    help="must match how the snapshot was trained "
                         "(Config.obs_bearing_channels)")
+    p.add_argument("--aux-head", action="store_true",
+                   help="must match how the snapshot was trained "
+                        "(Config.policy_aux_state; implies --obs-bearing)")
     p.add_argument("--t-amp", type=float, default=None)
     p.add_argument("--r-amp", type=float, default=None)
     args = p.parse_args(argv)
@@ -153,6 +156,8 @@ def main(argv=None):
         over.update(pose_aware_observation=True)
     if args.obs_bearing:
         over.update(obs_bearing_channels=True)
+    if args.aux_head:
+        over.update(obs_bearing_channels=True, policy_aux_state=True)
     if args.full:
         from ..config import kitti_config
         jax.config.update("jax_compilation_cache_dir", "/tmp/cmr_jax_cache")

@@ -223,6 +223,10 @@ def main(argv=None):
     p.add_argument("--obs-bearing", action="store_true",
                    help="bearing observation channels — must match how "
                         "the agent was trained (Config.obs_bearing_channels)")
+    p.add_argument("--aux-head", action="store_true",
+                   help="feed the bearing statistic straight into the "
+                        "policy/value heads (Config.policy_aux_state; "
+                        "implies --obs-bearing)")
     args = p.parse_args(argv)
 
     cfg = apply_obs_overrides(build_config(args), args)

@@ -164,6 +164,10 @@ def main(argv=None):
     p.add_argument("--val-every", type=int, default=0,
                    help="validate (and consider a best snapshot) every N "
                         "agent steps; 0 = max(10, agent_steps/8)")
+    p.add_argument("--aux-head", action="store_true",
+                   help="feed the bearing statistic straight into the "
+                        "policy/value heads (Config.policy_aux_state; "
+                        "implies --obs-bearing)")
     p.add_argument("--select-median", action="store_true",
                    help="pick the best-validation snapshot by (solved "
                         "scenes, median RRE + 2*median RTE) instead of the "
@@ -202,6 +206,8 @@ def main(argv=None):
         amp.update(pose_aware_observation=True)
     if args.obs_bearing:
         amp.update(obs_bearing_channels=True)
+    if args.aux_head:
+        amp.update(obs_bearing_channels=True, policy_aux_state=True)
     if args.lr is not None:
         amp.update(lr=args.lr)
 

@@ -3,6 +3,7 @@
 import math
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from scipy.spatial.transform import Rotation
@@ -219,9 +220,11 @@ def test_pose_aware_observation():
     assert np.isfinite(np.asarray(e3d)).all()
 
 
-def test_episode_with_bearing_channels():
-    """run_episode end-to-end with obs_bearing_channels: the agent sees a
-    7-channel 3-D observation and the scan compiles and steps."""
+@pytest.mark.parametrize("aux_head", [False, True])
+def test_episode_with_bearing_channels(aux_head):
+    """run_episode end-to-end with obs_bearing_channels (and optionally the
+    policy_aux_state head): the agent sees a 7-channel 3-D observation and
+    the scan compiles and steps."""
     import dataclasses
     from cmr_agent_tpu.config import tiny_config
     from cmr_agent_tpu.data import SyntheticDataset, collate
@@ -230,7 +233,8 @@ def test_episode_with_bearing_channels():
     from cmr_agent_tpu.ops import to_disentangled
 
     cfg = dataclasses.replace(tiny_config(), pose_aware_observation=True,
-                              obs_bearing_channels=True)
+                              obs_bearing_channels=True,
+                              policy_aux_state=aux_head)
     assert cfg.obs3d_channels == 7
     ds = SyntheticDataset(cfg, length=2)
     batch = {k: jnp.asarray(v) for k, v in

@@ -118,6 +118,36 @@ def test_agent_forward_and_actions(cfg):
                                rtol=1e-5)
 
 
+def test_agent_aux_head(cfg):
+    """policy_aux_state: the bearing channels reach the heads directly —
+    changing ONLY the bearing (constant channels 5:7) must change the
+    logits, and a 5-channel observation must be rejected."""
+    import dataclasses
+    acfg = dataclasses.replace(cfg, obs_bearing_channels=True,
+                               policy_aux_state=True)
+    assert acfg.obs3d_channels == 7
+    rng = np.random.default_rng(4)
+    B, N = 2, acfg.num_pt
+    h, w, f = acfg.image_h, acfg.image_w, acfg.embed_dim
+    s2d = jnp.array(rng.normal(size=(B, h, w, 2 * f)), jnp.float32)
+    s3d = jnp.array(rng.normal(size=(B, N, 5)), jnp.float32)
+    bearing = jnp.broadcast_to(jnp.array([[0.6, 0.8]], jnp.float32),
+                               (N, 2))[None].repeat(B, axis=0)
+    s3d7 = jnp.concatenate([s3d, bearing], axis=-1)
+    agent = CMRAgent(acfg)
+    avars = agent.init({"params": jax.random.key(5)}, s2d, s3d7, train=False)
+    r, t, v = agent.apply(avars, s2d, s3d7, train=False)
+    assert r.shape == (B, acfg.degree_r, acfg.num_steps)
+    # flip the bearing only: logits must differ (the aux path is live).
+    # NB through the max-pool stack alone this is not guaranteed for an
+    # arbitrary init — the direct head connection is the point.
+    s3d7_flip = s3d7.at[..., 5:].set(-s3d7[..., 5:])
+    r2, _, _ = agent.apply(avars, s2d, s3d7_flip, train=False)
+    assert not np.allclose(np.asarray(r), np.asarray(r2))
+    with pytest.raises(ValueError, match="policy_aux_state"):
+        agent.init({"params": jax.random.key(6)}, s2d, s3d, train=False)
+
+
 def test_iter_model_forward(cfg):
     rng = np.random.default_rng(2)
     N, h, w, f = cfg.num_pt, cfg.image_h, cfg.image_w, cfg.embed_dim

@@ -150,6 +150,8 @@ def apply_obs_overrides(cfg: Config, args) -> Config:
         # implies them
         over["obs_bearing_channels"] = True
         over["policy_aux_state"] = True
+    if getattr(args, "bearing_init", False):
+        over["bearing_init"] = True
     if getattr(args, "lr", None) is not None:
         over["lr"] = args.lr
     return dataclasses.replace(cfg, **over) if over else cfg

@@ -56,6 +56,11 @@ def main(argv=None):
                    help="feed the bearing statistic straight into the "
                         "policy/value heads (Config.policy_aux_state; "
                         "implies --obs-bearing)")
+    p.add_argument("--bearing-init", action="store_true",
+                   help="coarse-to-fine: start every episode from the yaw "
+                        "that points the predicted-overlap sector at the "
+                        "camera axis instead of identity "
+                        "(Config.bearing_init; no reference equivalent)")
     args = p.parse_args(argv)
     maybe_initialize_distributed(args)
 

@@ -134,6 +134,11 @@ def main(argv=None):
                    help="feed the bearing statistic straight into the "
                         "policy/value heads (Config.policy_aux_state; "
                         "implies --obs-bearing)")
+    p.add_argument("--bearing-init", action="store_true",
+                   help="coarse-to-fine: start every episode from the yaw "
+                        "that points the predicted-overlap sector at the "
+                        "camera axis instead of identity "
+                        "(Config.bearing_init; no reference equivalent)")
     p.add_argument("--lr", type=float, default=None,
                    help="override cfg.lr (the full-amplitude campaign's "
                         "stable zone is ~2e-5..3e-4, docs/CONVERGENCE.md "

@@ -156,6 +156,16 @@ class Config:
     # (the head width changes, so the converter covers only the
     # reference layout).
     policy_aux_state: bool = False
+    # Coarse yaw initialisation (classical coarse-to-fine): start every
+    # episode from the disentangled yaw that rotates the predicted-overlap
+    # sector's centroid onto the camera's +z axis, instead of the
+    # reference's identity (Test_Agent.py:154-158). Collapses the +-pi
+    # yaw regime — where learned direction inference is the binding
+    # constraint (docs/CONVERGENCE.md sections 9-11) — into the small-yaw
+    # regime the refinement policy trains well in. Applied to BOTH rollout
+    # and eval episodes so train/test distributions match. Off by
+    # default: parity.
+    bearing_init: bool = False
 
     @property
     def obs3d_channels(self) -> int:

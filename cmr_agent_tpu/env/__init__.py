@@ -2,6 +2,7 @@
 
 from .environment import (  # noqa: F401
     init_poses,
+    bearing_init_pose,
     expert_action,
     apply_action,
     observation_from_pose,

@@ -37,6 +37,40 @@ def init_poses(batch):
     return pose_source, pose_target
 
 
+def bearing_init_pose(state):
+    """Coarse yaw initialisation from the predicted-overlap bearing.
+
+    Returns a disentangled ``[B, 4, 4]`` initial pose estimate: the pure
+    yaw (about the cloud centroid, zero translation) that rotates the
+    predicted-overlap sector's centroid onto the camera's +z axis in the
+    x-z plane. For a spinning-LiDAR cloud the centroid sits near the
+    sensor, so the sector's centroid-relative bearing rotates one-for-one
+    with the yaw perturbation — undoing it lands the episode in the
+    small-yaw regime where the learned refinement converges
+    (docs/CONVERGENCE.md section 1 vs sections 2-10).
+
+    No reference equivalent: the reference always starts from identity
+    (Test_Agent.py:154-158). Gated by ``Config.bearing_init``; with an
+    empty overlap prediction the bearing degenerates to atan2(0, 0) = 0
+    and the init falls back to identity.
+    """
+    pc = state["pc"].astype(jnp.float32)                      # [B, N, 3]
+    w = state["pc_overlap_pred"].astype(jnp.float32)[..., None]
+    mean = pc.mean(axis=1, keepdims=True)
+    c = ((pc - mean) * w).sum(axis=1) / jnp.maximum(w.sum(axis=1), 1.0)
+    theta = jnp.arctan2(c[:, 0], c[:, 2])                     # [B]
+    # R_y(-theta): maps (sin t, y, cos t) * r -> (0, y, r), i.e. onto +z
+    cos, sin = jnp.cos(-theta), jnp.sin(-theta)
+    zeros, ones = jnp.zeros_like(cos), jnp.ones_like(cos)
+    rows = jnp.stack([
+        jnp.stack([cos, zeros, sin, zeros], axis=-1),
+        jnp.stack([zeros, ones, zeros, zeros], axis=-1),
+        jnp.stack([-sin, zeros, cos, zeros], axis=-1),
+        jnp.stack([zeros, zeros, zeros, ones], axis=-1),
+    ], axis=-2)                                               # [B, 4, 4]
+    return rows
+
+
 def compact_observation_state(state, k: int):
     """Pre-compact the rasterisation inputs to the top-``k`` overlap points.
 

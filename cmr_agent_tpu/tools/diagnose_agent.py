@@ -53,7 +53,7 @@ def build_pool(cfg, args):
     return [dict((k, jnp.asarray(v)) for k, v in b.items()) for b in loader]
 
 
-def replay_poses(cfg, traj, batch):
+def replay_poses(cfg, traj, batch, init_pose=None):
     """Recompute the per-step pose sequence from recorded actions.
 
     ``run_episode`` returns only the final pose; the trajectory's
@@ -66,6 +66,8 @@ def replay_poses(cfg, traj, batch):
     r_steps = jnp.asarray(cfg.r_steps_array())
     t_steps = jnp.asarray(cfg.t_steps_array())
     pose, tgt = init_poses(batch)
+    if init_pose is not None:
+        pose = init_pose
     tgt = to_disentangled(tgt, batch["pc"])
     errs = [pose_diff(pose, tgt)]
     for k in range(traj["action_r"].shape[0]):
@@ -77,7 +79,8 @@ def replay_poses(cfg, traj, batch):
     return rte, rre, pose
 
 
-def raster_occupancy(cfg, batch, geo_out, poses_rte_unused, traj):
+def raster_occupancy(cfg, batch, geo_out, poses_rte_unused, traj,
+                     init_pose=None):
     """Per-step, by replaying the recorded actions:
 
     * predicted-overlap points inside the frustum (2-D observability),
@@ -95,6 +98,8 @@ def raster_occupancy(cfg, batch, geo_out, poses_rte_unused, traj):
     r_steps = jnp.asarray(cfg.r_steps_array())
     t_steps = jnp.asarray(cfg.t_steps_array())
     pose, _ = init_poses(batch)
+    if init_pose is not None:
+        pose = init_pose
     pc = geo_out["pc"]
     overlap = geo_out["pc_overlap_pred"]
     zero_idx = len(cfg.r_steps_deg) // 2
@@ -143,6 +148,9 @@ def main(argv=None):
     p.add_argument("--aux-head", action="store_true",
                    help="must match how the snapshot was trained "
                         "(Config.policy_aux_state; implies --obs-bearing)")
+    p.add_argument("--bearing-init", action="store_true",
+                   help="start episodes from the coarse bearing-aligned "
+                        "yaw (Config.bearing_init)")
     p.add_argument("--t-amp", type=float, default=None)
     p.add_argument("--r-amp", type=float, default=None)
     args = p.parse_args(argv)
@@ -158,6 +166,8 @@ def main(argv=None):
         over.update(obs_bearing_channels=True)
     if args.aux_head:
         over.update(obs_bearing_channels=True, policy_aux_state=True)
+    if args.bearing_init:
+        over.update(bearing_init=True)
     if args.full:
         from ..config import kitti_config
         jax.config.update("jax_compilation_cache_dir", "/tmp/cmr_jax_cache")
@@ -198,6 +208,9 @@ def main(argv=None):
     def episode(batch, geo_out):
         state = _episode_state(geo_out, batch)
         pose_src, pose_tgt = init_poses(state)
+        if cfg.bearing_init:
+            from ..env import bearing_init_pose
+            pose_src = bearing_init_pose(state)
         pose_tgt = to_disentangled(pose_tgt, state["pc"])
         apply_fn = lambda v, o2, o3: agent_state.apply_fn(v, o2, o3,
                                                           train=False)
@@ -227,10 +240,17 @@ def main(argv=None):
     for batch in pool:
         geo_out = fwd(geo_state.params, geo_state.batch_stats, batch)
         traj = jax.tree.map(np.asarray, episode(batch, geo_out))
-        rte, rre, _ = replay_poses(cfg, traj, batch)
+        init = None
+        if cfg.bearing_init:
+            from ..env import bearing_init_pose
+            init = np.asarray(bearing_init_pose(
+                {"pc": geo_out["pc"],
+                 "pc_overlap_pred": geo_out["pc_overlap_pred"]}))
+        rte, rre, _ = replay_poses(cfg, traj, batch, init_pose=init)
         rte_all.append(rte)
         rre_all.append(rre)
-        occ, orh, orn = raster_occupancy(cfg, batch, geo_out, None, traj)
+        occ, orh, orn = raster_occupancy(cfg, batch, geo_out, None, traj,
+                                         init_pose=init)
         occ_all.append(occ)
         orh_all.append(orh)
         orn_all.append(orn)

@@ -17,7 +17,7 @@ import optax
 from flax import struct
 
 from ..config import Config
-from ..env import init_poses, run_episode
+from ..env import bearing_init_pose, init_poses, run_episode
 from ..models import CMRAgent
 from ..models.agent import action_logprob_and_entropy
 from ..ops.geometry import pose_diff, to_disentangled
@@ -81,6 +81,8 @@ def make_rollout_fn(cfg: Config, reward_apply_pose: bool = True):
                 expert_beta=None):
         state = _episode_state(geo_out, batch)
         pose_src, pose_tgt = init_poses(state)
+        if cfg.bearing_init:
+            pose_src = bearing_init_pose(state)
         pose_tgt = to_disentangled(pose_tgt, state["pc"])
 
         def apply_fn(avars, o2, o3):
@@ -179,6 +181,8 @@ def make_val_episode_fn(cfg: Config):
     def val_episode(agent_state: AgentTrainState, geo_out, batch):
         state = _episode_state(geo_out, batch)
         pose_src, pose_tgt = init_poses(state)
+        if cfg.bearing_init:
+            pose_src = bearing_init_pose(state)
         pose_tgt = to_disentangled(pose_tgt, state["pc"])
 
         def apply_fn(avars, o2, o3):

@@ -168,6 +168,10 @@ def main(argv=None):
                    help="feed the bearing statistic straight into the "
                         "policy/value heads (Config.policy_aux_state; "
                         "implies --obs-bearing)")
+    p.add_argument("--bearing-init", action="store_true",
+                   help="coarse-to-fine: start every episode (rollout and "
+                        "eval) from the bearing-aligned yaw "
+                        "(Config.bearing_init)")
     p.add_argument("--select-median", action="store_true",
                    help="pick the best-validation snapshot by (solved "
                         "scenes, median RRE + 2*median RTE) instead of the "
@@ -208,6 +212,8 @@ def main(argv=None):
         amp.update(obs_bearing_channels=True)
     if args.aux_head:
         amp.update(obs_bearing_channels=True, policy_aux_state=True)
+    if args.bearing_init:
+        amp.update(bearing_init=True)
     if args.lr is not None:
         amp.update(lr=args.lr)
 
@@ -372,6 +378,9 @@ def main(argv=None):
         from cmr_agent_tpu.train.train_agent import _episode_state
         state = _episode_state(geo_out, batch)
         pose_src, pose_tgt = init_poses(state)
+        if cfg.bearing_init:
+            from cmr_agent_tpu.env import bearing_init_pose
+            pose_src = bearing_init_pose(state)
         pose_tgt = to_disentangled(pose_tgt, state["pc"])
         apply_fn = lambda v, o2, o3: agent_state.apply_fn(v, o2, o3,
                                                           train=False)

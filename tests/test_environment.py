@@ -220,6 +220,48 @@ def test_pose_aware_observation():
     assert np.isfinite(np.asarray(e3d)).all()
 
 
+def test_bearing_init_pose_recovers_yaw():
+    """A sector of overlap points at centroid-relative bearing theta must
+    yield the init R_y(-theta) that rotates the sector onto +z; an empty
+    overlap prediction falls back to identity."""
+    from cmr_agent_tpu.env import bearing_init_pose
+
+    rng = np.random.default_rng(11)
+    n = 512
+    thetas = np.array([0.0, 0.7, -2.4, 3.0], np.float32)
+    pcs, overlaps = [], []
+    for th in thetas:
+        # ring of background points (zero-mean) + a tight flagged sector
+        # at bearing th, radius ~10
+        ang = rng.uniform(-np.pi, np.pi, n - 64)
+        bg = np.stack([10 * np.sin(ang), rng.normal(size=n - 64),
+                       10 * np.cos(ang)], axis=-1)
+        sec_ang = th + rng.normal(scale=0.05, size=64)
+        sec = np.stack([10 * np.sin(sec_ang), rng.normal(size=64),
+                        10 * np.cos(sec_ang)], axis=-1)
+        pcs.append(np.concatenate([bg, sec]).astype(np.float32))
+        overlaps.append(np.arange(n) >= n - 64)
+    state = {"pc": jnp.asarray(np.stack(pcs)),
+             "pc_overlap_pred": jnp.asarray(np.stack(overlaps))}
+    pose = np.asarray(bearing_init_pose(state))
+    assert pose.shape == (4, 4, 4)
+    for i, th in enumerate(thetas):
+        # recovered yaw: R_y(-theta) has R[0,2] = sin(-theta)
+        got = math.atan2(pose[i, 0, 2], pose[i, 0, 0])
+        # background ring shifts the weighted centroid slightly; 0.15 rad
+        # tolerance is ample for a coarse init refined by 10 policy steps
+        err = abs((got + th + math.pi) % (2 * math.pi) - math.pi)
+        assert err < 0.15, (th, got)
+        # translation must be zero (pure disentangled yaw)
+        np.testing.assert_allclose(pose[i, :3, 3], 0.0, atol=0)
+    # empty overlap -> atan2(0, 0) = 0 -> identity
+    empty = {"pc": state["pc"],
+             "pc_overlap_pred": jnp.zeros((4, n), bool)}
+    np.testing.assert_allclose(np.asarray(bearing_init_pose(empty)),
+                               np.broadcast_to(np.eye(4), (4, 4, 4)),
+                               atol=1e-6)
+
+
 @pytest.mark.parametrize("aux_head", [False, True])
 def test_episode_with_bearing_channels(aux_head):
     """run_episode end-to-end with obs_bearing_channels (and optionally the

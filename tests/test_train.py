@@ -89,6 +89,18 @@ def test_agent_rollout_update_and_val():
     m = registration_metrics(np.asarray(rte), np.asarray(rre))
     assert 0.0 <= m["registration_recall"] <= 1.0
 
+    # bearing-init episodes (Config.bearing_init): both rollout and val
+    # start from the coarse bearing-aligned yaw and stay finite
+    import dataclasses
+    bcfg = dataclasses.replace(CFG, bearing_init=True)
+    # NB agent_state was donated to the update above; use new_state
+    traj_b, final_b, _ = make_rollout_fn(bcfg)(new_state, geo_out, batch,
+                                               jax.random.key(3))
+    assert np.isfinite(np.asarray(final_b)).all()
+    _, rte_b, rre_b = make_val_episode_fn(bcfg)(new_state, geo_out, batch)
+    assert np.isfinite(np.asarray(rte_b)).all()
+    assert np.isfinite(np.asarray(rre_b)).all()
+
 
 def test_checkpoint_roundtrip(tmp_path):
     batch = _batch()

@@ -243,9 +243,10 @@ def main(argv=None):
         init = None
         if cfg.bearing_init:
             from ..env import bearing_init_pose
-            init = np.asarray(bearing_init_pose(
+            # keep jnp: replay's apply_action uses .at updates
+            init = bearing_init_pose(
                 {"pc": geo_out["pc"],
-                 "pc_overlap_pred": geo_out["pc_overlap_pred"]}))
+                 "pc_overlap_pred": geo_out["pc_overlap_pred"]})
         rte, rre, _ = replay_poses(cfg, traj, batch, init_pose=init)
         rte_all.append(rte)
         rre_all.append(rre)

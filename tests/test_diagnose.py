@@ -30,6 +30,17 @@ def test_diagnose_agent_end_to_end(tmp_path, capsys):
           "--scene", "random"])
     out = capsys.readouterr().out
 
+    # the bearing-init replay path (Config.bearing_init): same report
+    # shape, episodes start from the coarse bearing-aligned yaw
+    main(["--geo-ckpt", tpath, "--pool-size", "2", "--batch-size", "2",
+          "--scene", "random", "--pose-aware", "--bearing-init"])
+    out_bi = capsys.readouterr().out
+    rows_bi = re.findall(r"^\s*(\d+) \|", out_bi, flags=re.M)
+    assert len(rows_bi) == tcfg.action_num + 1
+    first_bi = re.search(r"^\s*0 \|\s+([\d.]+)\s+([\d.]+)", out_bi,
+                         flags=re.M)
+    assert first_bi and np.isfinite(float(first_bi.group(1)))
+
     # K+1 numbered rows in the error table
     rows = re.findall(r"^\s*(\d+) \|", out, flags=re.M)
     assert len(rows) == tcfg.action_num + 1

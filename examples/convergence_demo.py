@@ -295,6 +295,31 @@ def main(argv=None):
                    if args.val_size > 0 else None)
     geo_state = create_geo_state(cfg, batches[0], jax.random.key(0))
     geo_step = make_geo_train_step(cfg)
+    fwd = make_geo_forward(cfg)
+
+    def geo_holdout_overlap(state):
+        """Held-out per-point overlap accuracy / prediction rate / gt rate.
+
+        The training-pool accuracy the stage prints at the end is measured
+        on scenes the model trains on; run J's geo read 0.991 there while
+        collapsing to 1.8%-firing majority-class predictions on the
+        held-out pool (below the ~0.87 majority baseline) — which starves
+        every downstream signal (raster, overlap flags, bearing). This
+        metric makes that visible in-run (docs/CONVERGENCE.md section 11).
+        """
+        if val_batches is None:
+            return None
+        accs, rates, gts = [], [], []
+        for vb in val_batches:
+            out = fwd(state.params, state.batch_stats, vb)
+            pred = np.asarray(out["pc_overlap_pred"])
+            gt = np.asarray(vb["pc_mask"]).astype(bool)
+            accs.append((pred == gt).mean())
+            rates.append(pred.mean())
+            gts.append(gt.mean())
+        return (float(np.mean(accs)), float(np.mean(rates)),
+                float(np.mean(gts)))
+
     t0 = time.time()
     losses = []
     if args.load_geo:
@@ -324,6 +349,11 @@ def main(argv=None):
             losses.append(float(metrics["loss"]))
             if i % 10 == 0:
                 print(f"[geo] step {i:3d} loss {losses[-1]:.4f}", flush=True)
+            if val_batches is not None and i > 0 and \
+                    i % max(100, args.geo_steps // 20) == 0:
+                acc, rate, gtr = geo_holdout_overlap(geo_state)
+                print(f"[geo-val] step {i:3d} pc-acc {acc:.3f} "
+                      f"pred-rate {rate:.3f} gt-rate {gtr:.3f}", flush=True)
         print(f"[geo] loss {losses[0]:.4f} -> {losses[-1]:.4f} "
               f"({time.time()-t0:.0f}s)")
         assert losses[-1] < losses[0]
@@ -338,8 +368,16 @@ def main(argv=None):
                              "batch_stats": geo_state.batch_stats})
             print(f"[geo] saved to {args.save_geo}", flush=True)
 
+    holdout = geo_holdout_overlap(geo_state)
+    if holdout is not None:
+        print(f"[geo-val] final pc-acc {holdout[0]:.3f} "
+              f"pred-rate {holdout[1]:.3f} gt-rate {holdout[2]:.3f}",
+              flush=True)
+    if args.agent_steps == 0:
+        # geo-only run (e.g. the held-out-overlap diversity experiments)
+        return {"geo_losses": losses, "geo_holdout": holdout}
+
     # ---- stage 2: agent by behaviour cloning ----
-    fwd = make_geo_forward(cfg)
     h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
     agent_state = create_agent_state(
         cfg, jnp.zeros((args.batch_size, h, w, 2 * f)),

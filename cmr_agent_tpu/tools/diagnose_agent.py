@@ -151,6 +151,10 @@ def main(argv=None):
     p.add_argument("--bearing-init", action="store_true",
                    help="start episodes from the coarse bearing-aligned "
                         "yaw (Config.bearing_init)")
+    p.add_argument("--oracle-overlap", action="store_true",
+                   help="ABLATION: ground-truth overlap flags instead of "
+                        "the geo head's predictions (CONVERGENCE.md "
+                        "section 11)")
     p.add_argument("--t-amp", type=float, default=None)
     p.add_argument("--r-amp", type=float, default=None)
     args = p.parse_args(argv)
@@ -191,7 +195,16 @@ def main(argv=None):
                         "batch_stats": geo_state.batch_stats})
     geo_state = geo_state.replace(params=gv["params"],
                                   batch_stats=gv["batch_stats"])
-    fwd = make_geo_forward(cfg)
+    raw_fwd = make_geo_forward(cfg)
+
+    def fwd(params, stats, b):
+        out = raw_fwd(params, stats, b)
+        if args.oracle_overlap:
+            # oracle-perception ablation (docs/CONVERGENCE.md section 11)
+            out = dict(out)
+            out["pc_overlap_pred"] = b["pc_mask"].astype(bool)
+            out["pc_is_in_cam_scores"] = b["pc_mask"].astype(jnp.float32)
+        return out
 
     h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
     agent_state = create_agent_state(

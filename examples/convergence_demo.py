@@ -172,6 +172,12 @@ def main(argv=None):
                    help="coarse-to-fine: start every episode (rollout and "
                         "eval) from the bearing-aligned yaw "
                         "(Config.bearing_init)")
+    p.add_argument("--oracle-overlap", action="store_true",
+                   help="ABLATION: feed the agent ground-truth overlap "
+                        "flags instead of the geo head's predictions, "
+                        "which memorise the training scenes "
+                        "(docs/CONVERGENCE.md section 11); results are "
+                        "labelled oracle-perception")
     p.add_argument("--select-median", action="store_true",
                    help="pick the best-validation snapshot by (solved "
                         "scenes, median RRE + 2*median RTE) instead of the "
@@ -295,7 +301,22 @@ def main(argv=None):
                    if args.val_size > 0 else None)
     geo_state = create_geo_state(cfg, batches[0], jax.random.key(0))
     geo_step = make_geo_train_step(cfg)
-    fwd = make_geo_forward(cfg)
+    raw_fwd = make_geo_forward(cfg)
+
+    def fwd(params, stats, batch):
+        out = raw_fwd(params, stats, batch)
+        if args.oracle_overlap:
+            # oracle-perception ablation: ground-truth overlap flags in
+            # place of the geo head's predictions (which memorise the
+            # training scenes and collapse on held-out ones — section 11).
+            # Upper-bounds what a generalising geo gives the agent; every
+            # result produced under this flag is labelled as an ablation.
+            gt = batch["pc_mask"].astype(bool)
+            out = dict(out)
+            out["pc_overlap_pred"] = gt
+            out["pc_is_in_cam_scores"] = batch["pc_mask"].astype(
+                jnp.float32)
+        return out
 
     def geo_holdout_overlap(state):
         """Held-out per-point overlap accuracy / prediction rate / gt rate.
@@ -311,7 +332,7 @@ def main(argv=None):
             return None
         accs, rates, gts = [], [], []
         for vb in val_batches:
-            out = fwd(state.params, state.batch_stats, vb)
+            out = raw_fwd(state.params, state.batch_stats, vb)
             pred = np.asarray(out["pc_overlap_pred"])
             gt = np.asarray(vb["pc_mask"]).astype(bool)
             accs.append((pred == gt).mean())

@@ -47,6 +47,20 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--full", action="store_true",
                    help="full KITTI scale (bf16) instead of the tiny config")
+    p.add_argument("--embed-dim", type=int, default=0,
+                   help="override cfg.embed_dim (0 keeps the config "
+                        "default). Capacity probe for the CONVERGENCE.md "
+                        "section-11 finding that the reference-scale "
+                        "64-channel encoder cannot fit synthetic overlap "
+                        "localisation at the full protocol: e.g. "
+                        "--embed-dim 128 doubles every feature width "
+                        "(image/point branches, fusion, heads) — all "
+                        "shapes derive from the config, nothing else to "
+                        "change")
+    p.add_argument("--mlp-dim", type=int, default=0,
+                   help="override cfg.mlp_dim (ViT MLP width); 0 keeps "
+                        "the config default. Usually scaled with "
+                        "--embed-dim (reference ratio is 16x embed_dim)")
     p.add_argument("--t-amp", type=float, default=None,
                    help="translation perturbation amplitude (m); the KITTI "
                         "default +-10 m throws most of a random synthetic "
@@ -222,6 +236,10 @@ def main(argv=None):
         amp.update(bearing_init=True)
     if args.lr is not None:
         amp.update(lr=args.lr)
+    if args.embed_dim:
+        amp.update(embed_dim=args.embed_dim)
+    if args.mlp_dim:
+        amp.update(mlp_dim=args.mlp_dim)
 
     fps_fn = nn_fn = None
     if args.full:

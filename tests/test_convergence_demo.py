@@ -37,3 +37,19 @@ def test_demo_refresh_curriculum_heldout_val(tmp_path):
     for k in ("untrained", "trained", "expert"):
         rte, rre = r[k]
         assert rte >= 0 and rre >= 0
+
+
+@pytest.mark.slow
+def test_demo_embed_dim_override_geo_only(tmp_path):
+    """--embed-dim/--mlp-dim (the CONVERGENCE §11 capacity probe) rebuild
+    every model shape from the config; geo-only mode (--agent-steps 0)
+    trains and reports held-out overlap accuracy at the wider width."""
+    sys.path.insert(0, "/root/repo")
+    from examples.convergence_demo import main
+
+    r = main(["--geo-steps", "3", "--agent-steps", "0", "--batch-size", "2",
+              "--pool-size", "4", "--val-size", "2", "--scene", "structured",
+              "--embed-dim", "48", "--mlp-dim", "96"])
+    assert len(r["geo_losses"]) == 3
+    import numpy as np
+    assert np.isfinite(r["geo_losses"]).all()

@@ -131,12 +131,15 @@ def build_config(args) -> Config:
 
 
 def apply_obs_overrides(cfg: Config, args) -> Config:
-    """Fold the gated observation/optimizer flags into the config.
+    """Fold the gated observation/optimizer/amplitude flags into the config.
 
-    Reads whichever of ``--pose-aware``/``--obs-bearing``/``--lr`` the
-    calling parser defines (absent attributes are skipped), so every CLI
-    shares one block instead of keeping a per-site guard condition and
-    override body in sync for each new flag.
+    Reads whichever of ``--pose-aware``/``--obs-bearing``/``--aux-head``/
+    ``--bearing-init``/``--lr``/``--t-amp``/``--r-amp``/``--w-entropy``/
+    ``--alpha``/``--embed-dim``/``--mlp-dim`` the calling parser defines
+    (absent attributes are skipped), so every CLI and tool shares ONE
+    flag->config mapping instead of keeping per-site guard conditions and
+    override bodies (including the aux-head -> bearing-channels
+    implication) in sync for each new flag.
     """
     import dataclasses
 
@@ -154,6 +157,19 @@ def apply_obs_overrides(cfg: Config, args) -> Config:
         over["bearing_init"] = True
     if getattr(args, "lr", None) is not None:
         over["lr"] = args.lr
+    if getattr(args, "t_amp", None) is not None:
+        over["p_tx_amplitude"] = args.t_amp
+        over["p_tz_amplitude"] = args.t_amp
+    if getattr(args, "r_amp", None) is not None:
+        over["p_ry_amplitude"] = args.r_amp
+    if getattr(args, "w_entropy", None) is not None:
+        over["w_entropy"] = args.w_entropy
+    if getattr(args, "alpha", None) is not None:
+        over["alpha"] = args.alpha
+    if getattr(args, "embed_dim", 0):
+        over["embed_dim"] = args.embed_dim
+    if getattr(args, "mlp_dim", 0):
+        over["mlp_dim"] = args.mlp_dim
     return dataclasses.replace(cfg, **over) if over else cfg
 
 

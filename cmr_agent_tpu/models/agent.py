@@ -148,7 +148,7 @@ class CMRAgent(nn.Module):
             # sample, so any point's row carries the full statistic; feed
             # it straight to the heads instead of through the max-pool
             # stack (Config.policy_aux_state)
-            if state_3d.shape[-1] < 6:
+            if state_3d.shape[-1] != 7:
                 raise ValueError(
                     "policy_aux_state requires the bearing observation "
                     "channels (obs_bearing_channels=True -> state_3d "

@@ -159,31 +159,22 @@ def main(argv=None):
     p.add_argument("--r-amp", type=float, default=None)
     args = p.parse_args(argv)
 
-    over = {}
-    if args.t_amp is not None:
-        over.update(p_tx_amplitude=args.t_amp, p_tz_amplitude=args.t_amp)
-    if args.r_amp is not None:
-        over.update(p_ry_amplitude=args.r_amp)
-    if args.pose_aware:
-        over.update(pose_aware_observation=True)
-    if args.obs_bearing:
-        over.update(obs_bearing_channels=True)
-    if args.aux_head:
-        over.update(obs_bearing_channels=True, policy_aux_state=True)
-    if args.bearing_init:
-        over.update(bearing_init=True)
+    from ..cli.common import apply_obs_overrides
+
     if args.full:
         from ..config import kitti_config
         jax.config.update("jax_compilation_cache_dir", "/tmp/cmr_jax_cache")
         cfg = kitti_config(compute_dtype="bfloat16",
-                           train_batch_size=args.batch_size, **over)
+                           train_batch_size=args.batch_size)
     else:
         from ..config import tiny_config
-        cfg = tiny_config(train_batch_size=args.batch_size, **over)
+        cfg = tiny_config(train_batch_size=args.batch_size)
+    # one shared flag->config mapping for every CLI/tool (cli.common)
+    cfg = apply_obs_overrides(cfg, args)
 
     from ..train import (create_geo_state, create_agent_state,
                          restore_model_variables)
-    from ..train.train_geo import make_geo_forward
+    from ..train.train_geo import make_geo_forward, wrap_oracle_overlap
     from ..train.train_agent import _episode_state
     from ..env import init_poses, run_episode
     from ..ops import to_disentangled
@@ -196,15 +187,9 @@ def main(argv=None):
     geo_state = geo_state.replace(params=gv["params"],
                                   batch_stats=gv["batch_stats"])
     raw_fwd = make_geo_forward(cfg)
-
-    def fwd(params, stats, b):
-        out = raw_fwd(params, stats, b)
-        if args.oracle_overlap:
-            # oracle-perception ablation (docs/CONVERGENCE.md section 11)
-            out = dict(out)
-            out["pc_overlap_pred"] = b["pc_mask"].astype(bool)
-            out["pc_is_in_cam_scores"] = b["pc_mask"].astype(jnp.float32)
-        return out
+    # oracle-perception ablation (shared wrapper — CONVERGENCE.md sec. 11)
+    fwd = (wrap_oracle_overlap(raw_fwd) if args.oracle_overlap
+           else raw_fwd)
 
     h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
     agent_state = create_agent_state(

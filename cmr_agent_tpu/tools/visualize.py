@@ -121,8 +121,8 @@ def run_and_render(cfg, batch, out_dir: str, policy: str = "expert",
     import jax
     import jax.numpy as jnp
 
-    from ..env import (apply_action, expert_action, init_poses,
-                       observation_from_pose)
+    from ..env import (apply_action, bearing_init_pose, expert_action,
+                       init_poses, observation_from_pose)
     from ..ops import pose_diff, to_disentangled
 
     os.makedirs(out_dir, exist_ok=True)
@@ -152,6 +152,16 @@ def run_and_render(cfg, batch, out_dir: str, policy: str = "expert",
             v, o2, o3, train=False))
         avars = {"params": agent_state.params,
                  "batch_stats": agent_state.batch_stats}
+        if cfg.bearing_init:
+            # start from the coarse bearing-aligned yaw, exactly like the
+            # rollout/eval episodes (train_agent.make_rollout_fn) — an
+            # agent trained with bearing_init never sees identity starts
+            pose = np.asarray(bearing_init_pose(state),
+                              dtype=np.float32)
+    elif cfg.bearing_init:
+        print("[visualize] note: --bearing-init only affects the agent/"
+              "untrained policies (the analytic expert is pose-fed); "
+              "rendering the expert from identity")
 
     frames, errs = [], []
     r_tab = np.asarray(cfg.r_steps_array())

@@ -3,7 +3,7 @@
 from .optim import make_optimizer, make_lr_schedule  # noqa: F401
 from .train_geo import (  # noqa: F401
     GeoTrainState, create_geo_state, make_geo_train_step, make_geo_eval_step,
-    make_geo_multi_step,
+    make_geo_multi_step, wrap_oracle_overlap,
 )
 from .train_agent import (  # noqa: F401
     AgentTrainState, create_agent_state, make_rollout_fn, make_ppo_update_step,

@@ -78,6 +78,13 @@ def export_episode(cfg: Config, agent_variables: Dict,
         b = state["pc"].shape[0]
         pose_src = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
                                     (b, 4, 4))
+        if cfg.bearing_init:
+            # match training/eval episode initialisation (Config.bearing
+            # _init applies to BOTH rollout and eval — config.py): an
+            # agent trained with it never sees identity starts, so the
+            # serving artifact must bake the same init
+            from ..env import bearing_init_pose
+            pose_src = bearing_init_pose(state)
 
         def apply_fn(avars, o2, o3):
             return agent.apply(avars, o2, o3, train=False)

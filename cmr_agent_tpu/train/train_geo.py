@@ -137,3 +137,25 @@ def make_geo_forward(cfg: Config, with_loss: bool = False):
             batch, train=False, with_loss=with_loss)
 
     return jax.jit(forward)
+
+
+def wrap_oracle_overlap(fwd):
+    """Oracle-perception ablation (docs/CONVERGENCE.md section 11).
+
+    Wraps a ``make_geo_forward``-style ``(params, stats, batch) -> out``
+    with ground-truth overlap flags (``batch['pc_mask']``) substituted for
+    the geo head's predictions, which memorise the synthetic training
+    scenes and collapse on held-out ones. Upper-bounds what a generalising
+    geo would give the agent; every result produced through this wrapper
+    is an ablation and must be labelled as such. One shared definition so
+    the demo's training numbers and diagnose's replay of the same
+    checkpoint cannot drift apart.
+    """
+
+    def wrapped(params, batch_stats, batch):
+        out = dict(fwd(params, batch_stats, batch))
+        out["pc_overlap_pred"] = batch["pc_mask"].astype(bool)
+        out["pc_is_in_cam_scores"] = batch["pc_mask"].astype(jnp.float32)
+        return out
+
+    return wrapped

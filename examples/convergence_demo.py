@@ -37,7 +37,8 @@ from cmr_agent_tpu.train import (create_geo_state, make_geo_train_step,
                                  create_agent_state, make_rollout_fn,
                                  make_ppo_update_step, make_val_episode_fn,
                                  registration_metrics)
-from cmr_agent_tpu.train.train_geo import make_geo_forward
+from cmr_agent_tpu.train.train_geo import (make_geo_forward,
+                                            wrap_oracle_overlap)
 
 
 def main(argv=None):
@@ -217,29 +218,7 @@ def main(argv=None):
         p.error("--select-median requires --val-size (a fixed held-out "
                 "validation pool)")
 
-    amp = {}
-    if args.t_amp is not None:
-        amp.update(p_tx_amplitude=args.t_amp, p_tz_amplitude=args.t_amp)
-    if args.r_amp is not None:
-        amp.update(p_ry_amplitude=args.r_amp)
-    if args.w_entropy is not None:
-        amp.update(w_entropy=args.w_entropy)
-    if args.alpha is not None:
-        amp.update(alpha=args.alpha)
-    if args.pose_aware:
-        amp.update(pose_aware_observation=True)
-    if args.obs_bearing:
-        amp.update(obs_bearing_channels=True)
-    if args.aux_head:
-        amp.update(obs_bearing_channels=True, policy_aux_state=True)
-    if args.bearing_init:
-        amp.update(bearing_init=True)
-    if args.lr is not None:
-        amp.update(lr=args.lr)
-    if args.embed_dim:
-        amp.update(embed_dim=args.embed_dim)
-    if args.mlp_dim:
-        amp.update(mlp_dim=args.mlp_dim)
+    from cmr_agent_tpu.cli.common import apply_obs_overrides
 
     fps_fn = nn_fn = None
     if args.full:
@@ -247,12 +226,14 @@ def main(argv=None):
         jax.config.update("jax_compilation_cache_dir", "/tmp/cmr_jax_cache")
         cfg = kitti_config(compute_dtype="bfloat16",
                            train_batch_size=args.batch_size,
-                           num_trajectory=2, ppo_batch_size=8, **amp)
+                           num_trajectory=2, ppo_batch_size=8)
         from cmr_agent_tpu.native import get_fast_host_ops
         fps_fn, nn_fn = get_fast_host_ops()
     else:
         cfg = tiny_config(train_batch_size=args.batch_size,
-                          num_trajectory=2, ppo_batch_size=8, **amp)
+                          num_trajectory=2, ppo_batch_size=8)
+    # one shared flag->config mapping for every CLI/tool (cli.common)
+    cfg = apply_obs_overrides(cfg, args)
 
     def scaled_cfg(scale: float, r_scale: float | None = None):
         """cfg with training perturbation amplitudes scaled (curriculum /
@@ -320,21 +301,10 @@ def main(argv=None):
     geo_state = create_geo_state(cfg, batches[0], jax.random.key(0))
     geo_step = make_geo_train_step(cfg)
     raw_fwd = make_geo_forward(cfg)
-
-    def fwd(params, stats, batch):
-        out = raw_fwd(params, stats, batch)
-        if args.oracle_overlap:
-            # oracle-perception ablation: ground-truth overlap flags in
-            # place of the geo head's predictions (which memorise the
-            # training scenes and collapse on held-out ones — section 11).
-            # Upper-bounds what a generalising geo gives the agent; every
-            # result produced under this flag is labelled as an ablation.
-            gt = batch["pc_mask"].astype(bool)
-            out = dict(out)
-            out["pc_overlap_pred"] = gt
-            out["pc_is_in_cam_scores"] = batch["pc_mask"].astype(
-                jnp.float32)
-        return out
+    # oracle-perception ablation (shared wrapper — section 11); results
+    # produced under --oracle-overlap are labelled as an ablation
+    fwd = (wrap_oracle_overlap(raw_fwd) if args.oracle_overlap
+           else raw_fwd)
 
     def geo_holdout_overlap(state):
         """Held-out per-point overlap accuracy / prediction rate / gt rate.

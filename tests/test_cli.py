@@ -169,3 +169,31 @@ def test_enable_compile_cache_policy(monkeypatch):
         assert jax.config.jax_compilation_cache_dir == prev
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_apply_obs_overrides_single_mapping():
+    """cli.common.apply_obs_overrides is THE flag->config mapping shared
+    by every CLI/tool (demo and diagnose included since round 3) —
+    amplitude, optimizer, width and observation flags all route through
+    it, including the aux-head -> bearing-channels implication."""
+    import argparse
+
+    from cmr_agent_tpu.cli.common import apply_obs_overrides
+    from cmr_agent_tpu.config import micro_config
+
+    cfg = micro_config()
+    args = argparse.Namespace(
+        pose_aware=True, obs_bearing=False, aux_head=True,
+        bearing_init=True, lr=3e-4, t_amp=2.5, r_amp=0.5,
+        w_entropy=1e-2, alpha=0.7, embed_dim=128, mlp_dim=256)
+    out = apply_obs_overrides(cfg, args)
+    assert out.pose_aware_observation and out.bearing_init
+    assert out.obs_bearing_channels and out.policy_aux_state  # implication
+    assert out.obs3d_channels == 7
+    assert (out.lr, out.w_entropy, out.alpha) == (3e-4, 1e-2, 0.7)
+    assert (out.p_tx_amplitude, out.p_tz_amplitude) == (2.5, 2.5)
+    assert out.p_ry_amplitude == 0.5
+    assert (out.embed_dim, out.mlp_dim) == (128, 256)
+    # absent attributes are skipped; 0/None sentinels keep defaults
+    plain = apply_obs_overrides(cfg, argparse.Namespace(embed_dim=0))
+    assert plain == cfg

@@ -71,3 +71,47 @@ def test_episode_export_roundtrip(tmp_path):
         lambda avars, o2, o3: agent.apply(avars, o2, o3, train=False),
         av, state, pose_src, None, CFG, deterministic=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_episode_export_honours_bearing_init(tmp_path):
+    """An agent trained with Config.bearing_init must be served with the
+    same episode initialisation (round-3 review: export_episode hardcoded
+    identity)."""
+    from cmr_agent_tpu.env import bearing_init_pose
+
+    cfg = micro_config(action_num=2, bearing_init=True)
+    ds = SyntheticDataset(cfg, length=2)
+    batch = {k: jnp.asarray(v) for k, v in collate([ds[0], ds[1]]).items()}
+    model = MultiHeadModel(cfg)
+    gv = jax.jit(lambda r, b: model.init(r, b, train=False, with_loss=False))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch)
+    out = model.apply(gv, batch, train=False, with_loss=False)
+    state = {
+        "pc": out["pc"],
+        "K": batch["K"],
+        # frustum mask as the overlap prediction: nonzero bearing
+        "pc_overlap_pred": batch["pc_mask"].astype(bool),
+        "pc_is_in_cam_scores": batch["pc_mask"].astype(jnp.float32),
+        "pc_geo_feat": out["pc_geo_feat"],
+        "img_geo_feat": out["img_geo_feat"],
+    }
+    agent = CMRAgent(cfg)
+    h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
+    b = batch["pc"].shape[0]
+    av = jax.jit(lambda r, o2, o3: agent.init({"params": r}, o2, o3,
+                                              train=False))(
+        jax.random.key(2), jnp.zeros((b, h, w, 2 * f)),
+        jnp.zeros((b, cfg.num_pt, 5)))
+
+    blob = export_episode(cfg, av, state)
+    got = load_exported(blob).call({k: np.asarray(v)
+                                    for k, v in state.items()})
+
+    pose_src = bearing_init_pose(state)
+    assert not np.allclose(np.asarray(pose_src),
+                           np.broadcast_to(np.eye(4, dtype=np.float32),
+                                           (b, 4, 4)))
+    want, _ = run_episode(
+        lambda avars, o2, o3: agent.apply(avars, o2, o3, train=False),
+        av, state, pose_src, None, cfg, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)

@@ -146,6 +146,11 @@ def test_agent_aux_head(cfg):
     assert not np.allclose(np.asarray(r), np.asarray(r2))
     with pytest.raises(ValueError, match="policy_aux_state"):
         agent.init({"params": jax.random.key(6)}, s2d, s3d, train=False)
+    # a malformed 6-channel observation must also fail fast, not be
+    # silently accepted with a 1-wide truncated bearing
+    with pytest.raises(ValueError, match="policy_aux_state"):
+        agent.init({"params": jax.random.key(7)}, s2d, s3d7[..., :6],
+                   train=False)
 
 
 def test_iter_model_forward(cfg):

@@ -342,6 +342,14 @@ def main(argv=None):
         print(f"[geo] loaded from {args.load_geo}, skipping stage 1",
               flush=True)
     else:
+        from cmr_agent_tpu.train.checkpoint import save_checkpoint
+
+        def _save_geo():
+            save_checkpoint(args.save_geo,
+                            {"params": geo_state.params,
+                             "batch_stats": geo_state.batch_stats})
+
+        best_geo_acc = -1.0
         for i in range(args.geo_steps):
             if args.stop_file and os.path.exists(args.stop_file):
                 print(f"[geo] stop-file {args.stop_file} found at step {i}",
@@ -361,8 +369,19 @@ def main(argv=None):
             if val_batches is not None and i > 0 and \
                     i % max(100, args.geo_steps // 20) == 0:
                 acc, rate, gtr = geo_holdout_overlap(geo_state)
+                # keep the BEST held-out snapshot, saved incrementally
+                # (like the agent stage): the held-out accuracy
+                # oscillates ~1pp between checkpoints, so the final
+                # state can be a weak point (run P1: final 0.884 with
+                # pred-rate 0.025 vs best 0.895 with 0.134)
+                tag = ""
+                if args.save_geo and acc > best_geo_acc:
+                    best_geo_acc = acc
+                    _save_geo()
+                    tag = "  *saved*"
                 print(f"[geo-val] step {i:3d} pc-acc {acc:.3f} "
-                      f"pred-rate {rate:.3f} gt-rate {gtr:.3f}", flush=True)
+                      f"pred-rate {rate:.3f} gt-rate {gtr:.3f}{tag}",
+                      flush=True)
         print(f"[geo] loss {losses[0]:.4f} -> {losses[-1]:.4f} "
               f"({time.time()-t0:.0f}s)")
         assert losses[-1] < losses[0]
@@ -371,11 +390,24 @@ def main(argv=None):
               f" img {float(metrics['img_overlap_accuracy']):.3f}",
               flush=True)
         if args.save_geo:
-            from cmr_agent_tpu.train.checkpoint import save_checkpoint
-            save_checkpoint(args.save_geo,
-                            {"params": geo_state.params,
-                             "batch_stats": geo_state.batch_stats})
-            print(f"[geo] saved to {args.save_geo}", flush=True)
+            final_hold = geo_holdout_overlap(geo_state)
+            if final_hold is None or final_hold[0] > best_geo_acc:
+                _save_geo()
+                print(f"[geo] saved to {args.save_geo}", flush=True)
+            else:
+                # reload the best snapshot so the in-process agent stage
+                # (and the returned holdout numbers) use what was saved
+                from cmr_agent_tpu.train.checkpoint import (
+                    restore_checkpoint)
+                m = restore_checkpoint(
+                    args.save_geo,
+                    template={"params": geo_state.params,
+                              "batch_stats": geo_state.batch_stats})
+                geo_state = geo_state.replace(
+                    params=m["params"], batch_stats=m["batch_stats"])
+                print(f"[geo] kept best held-out snapshot in "
+                      f"{args.save_geo} (acc {best_geo_acc:.3f} > final "
+                      f"{final_hold[0]:.3f}) and reloaded it", flush=True)
 
     holdout = geo_holdout_overlap(geo_state)
     if holdout is not None:

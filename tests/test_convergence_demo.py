@@ -47,9 +47,16 @@ def test_demo_embed_dim_override_geo_only(tmp_path):
     sys.path.insert(0, "/root/repo")
     from examples.convergence_demo import main
 
+    import os
+
+    geo_dir = str(tmp_path / "geo_best")
     r = main(["--geo-steps", "3", "--agent-steps", "0", "--batch-size", "2",
               "--pool-size", "4", "--val-size", "2", "--scene", "structured",
-              "--embed-dim", "48", "--mlp-dim", "96"])
+              "--embed-dim", "48", "--mlp-dim", "96",
+              "--save-geo", geo_dir])
     assert len(r["geo_losses"]) == 3
     import numpy as np
     assert np.isfinite(r["geo_losses"]).all()
+    # --save-geo with a held-out pool keeps the best snapshot (final
+    # state here, since no val checkpoint fires in 3 steps)
+    assert os.path.isdir(geo_dir)

@@ -89,6 +89,29 @@ def main(argv=None):
                         "space effectively unlimited, like a real dataset")
     p.add_argument("--geo-refresh-every", type=int, default=0,
                    help="same for geo training steps; 0 = fixed pool")
+    p.add_argument("--geo-curriculum", type=float, default=0.0,
+                   help="amplitude curriculum for the GEO stage: the "
+                        "training pool's yaw amplitude ramps linearly from "
+                        "--geo-r-start to the full configured amplitude "
+                        "over this fraction of geo steps (translation "
+                        "stays at full amplitude throughout; the held-out "
+                        "pool always draws at full amplitude). Motivated "
+                        "by docs/CONVERGENCE.md section 13: held-out "
+                        "overlap generalisation turns on at +-45 deg but "
+                        "is blind cold at +-90 deg within the budget — "
+                        "this tests whether warm low-amplitude perception "
+                        "extends the frontier. Requires "
+                        "--geo-refresh-every; 0 disables")
+    p.add_argument("--geo-r-start", type=float, default=0.7854,
+                   help="starting yaw amplitude (rad) for "
+                        "--geo-curriculum (default pi/4, the measured "
+                        "turn-on point of the amplitude-frontier study)")
+    p.add_argument("--geo-warm-start", action="store_true",
+                   help="with --load-geo: continue stage-1 training from "
+                        "the checkpoint instead of skipping it (fresh "
+                        "optimizer state) — a two-phase curriculum across "
+                        "separate runs, e.g. train at +-45 deg, then warm-"
+                        "start a +-90 deg run from the saved snapshot")
     p.add_argument("--curriculum", type=float, default=0.0,
                    help="fraction of agent steps over which the TRAINING "
                         "perturbation amplitude ramps 0.15->1.0 of full "
@@ -217,6 +240,13 @@ def main(argv=None):
         # on the easiest pool
         p.error("--select-median requires --val-size (a fixed held-out "
                 "validation pool)")
+    if args.geo_curriculum > 0 and not args.geo_refresh_every:
+        # the curriculum acts through pool regeneration; without refresh
+        # the initial reduced-amplitude pool would silently train forever
+        p.error("--geo-curriculum requires --geo-refresh-every")
+    if args.geo_warm_start and not args.load_geo:
+        p.error("--geo-warm-start requires --load-geo (the snapshot to "
+                "continue from)")
 
     from cmr_agent_tpu.cli.common import apply_obs_overrides
 
@@ -261,15 +291,17 @@ def main(argv=None):
     R_MIX = (0.005, 0.01, 0.02, 0.04, 0.08, 0.16, 0.32, 0.64, 1.0)
 
     def make_pool(length: int, *, seed: int, epoch: int = 0,
-                  scale: float = 1.0, shuffle: bool = True,
-                  mixture: bool = False):
+                  scale: float = 1.0, r_scale: float | None = None,
+                  shuffle: bool = True, mixture: bool = False):
         """Materialise a pool of device batches: fresh scenes AND fresh
         perturbations per (seed, epoch). All shapes are constant across
         pools, so the compiled train/rollout programs are reused. With
         ``mixture=True`` every sample draws its own (t, r) amplitude pair
-        from T_MIX x R_MIX (mixed WITHIN each batch)."""
+        from T_MIX x R_MIX (mixed WITHIN each batch). ``r_scale``
+        decouples the yaw amplitude from ``scale`` (geo curriculum keeps
+        translation at full amplitude while ramping yaw)."""
         if not mixture:
-            ds = SyntheticDataset(scaled_cfg(scale), length=length,
+            ds = SyntheticDataset(scaled_cfg(scale, r_scale), length=length,
                                   seed=seed, fps_fn=fps_fn, nn_fn=nn_fn,
                                   scene=args.scene)
             ds.set_epoch(epoch)
@@ -294,7 +326,19 @@ def main(argv=None):
                 for s in range(0, length - bs + 1, bs)]
 
     # ---- stage 1: geo model ----
-    batches = make_pool(args.pool_size, seed=0, mixture=args.amp_mixture)
+    def geo_r_scale(i: int) -> float:
+        """Geo-curriculum yaw-amplitude scale at geo step ``i``: linear
+        ramp from --geo-r-start to the full configured amplitude over
+        --geo-curriculum * geo_steps, then flat at 1.0."""
+        if args.geo_curriculum <= 0:
+            return 1.0
+        target = max(cfg.p_ry_amplitude, 1e-9)
+        start = min(1.0, args.geo_r_start / target)
+        ramp = max(1.0, args.geo_curriculum * args.geo_steps)
+        return min(1.0, start + (1.0 - start) * i / ramp)
+
+    batches = make_pool(args.pool_size, seed=0, mixture=args.amp_mixture,
+                        r_scale=geo_r_scale(0))
     # held-out validation pool: full amplitude always, disjoint seed
     val_batches = (make_pool(args.val_size, seed=7919, shuffle=False)
                    if args.val_size > 0 else None)
@@ -339,9 +383,14 @@ def main(argv=None):
         geo_state = geo_state.replace(params=m["params"],
                                       batch_stats=m["batch_stats"])
         losses = [float("nan")]
-        print(f"[geo] loaded from {args.load_geo}, skipping stage 1",
+        print(f"[geo] loaded from {args.load_geo}"
+              + ("" if args.geo_warm_start else ", skipping stage 1"),
               flush=True)
+    if args.load_geo and not args.geo_warm_start:
+        pass
     else:
+        if args.geo_warm_start:
+            losses = []
         from cmr_agent_tpu.train.checkpoint import save_checkpoint
 
         def _save_geo():
@@ -359,7 +408,8 @@ def main(argv=None):
                     and i % args.geo_refresh_every == 0):
                 batches = make_pool(args.pool_size, seed=0,
                                     epoch=i // args.geo_refresh_every,
-                                    mixture=args.amp_mixture)
+                                    mixture=args.amp_mixture,
+                                    r_scale=geo_r_scale(i))
             geo_state, metrics = geo_step(geo_state,
                                           batches[i % len(batches)],
                                           jax.random.key(i))
@@ -379,12 +429,18 @@ def main(argv=None):
                     best_geo_acc = acc
                     _save_geo()
                     tag = "  *saved*"
+                amp = (f" train-r-amp {geo_r_scale(i) * cfg.p_ry_amplitude:.3f}"
+                       if args.geo_curriculum > 0 else "")
                 print(f"[geo-val] step {i:3d} pc-acc {acc:.3f} "
-                      f"pred-rate {rate:.3f} gt-rate {gtr:.3f}{tag}",
+                      f"pred-rate {rate:.3f} gt-rate {gtr:.3f}{amp}{tag}",
                       flush=True)
         print(f"[geo] loss {losses[0]:.4f} -> {losses[-1]:.4f} "
               f"({time.time()-t0:.0f}s)")
-        assert losses[-1] < losses[0]
+        if args.geo_curriculum <= 0 and not args.geo_warm_start:
+            # with a curriculum the pool difficulty GROWS over the run and
+            # a warm start begins already-descended, so first-vs-last loss
+            # is not a monotone descent check in either mode
+            assert losses[-1] < losses[0]
         print(f"[geo] overlap acc: "
               f"pc {float(metrics['pc_overlap_accuracy']):.3f}"
               f" img {float(metrics['img_overlap_accuracy']):.3f}",

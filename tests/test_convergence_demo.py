@@ -40,6 +40,39 @@ def test_demo_refresh_curriculum_heldout_val(tmp_path):
 
 
 @pytest.mark.slow
+def test_demo_geo_curriculum_and_warm_start(tmp_path):
+    """--geo-curriculum ramps the geo pool's yaw amplitude (validation
+    stays at full amplitude) and --geo-warm-start continues stage-1
+    training from a --save-geo snapshot — the two-phase amplitude
+    curriculum machinery of docs/CONVERGENCE.md section 15."""
+    sys.path.insert(0, "/root/repo")
+    from examples.convergence_demo import main
+
+    import os
+    import numpy as np
+
+    geo_dir = str(tmp_path / "geo_cur")
+    r = main(["--geo-steps", "4", "--agent-steps", "0", "--batch-size", "2",
+              "--pool-size", "4", "--val-size", "2", "--scene", "structured",
+              "--geo-refresh-every", "2", "--geo-curriculum", "0.5",
+              "--geo-r-start", "0.3", "--save-geo", geo_dir])
+    assert os.path.isdir(geo_dir)
+    assert np.isfinite(r["geo_losses"]).all()
+    # warm-start: losses continue from the snapshot (a fresh list, still
+    # finite), held-out eval runs at full amplitude
+    r2 = main(["--geo-steps", "2", "--agent-steps", "0", "--batch-size", "2",
+               "--pool-size", "4", "--val-size", "2", "--scene",
+               "structured", "--load-geo", geo_dir, "--geo-warm-start"])
+    assert len(r2["geo_losses"]) == 2
+    assert np.isfinite(r2["geo_losses"]).all()
+    # plain --load-geo (no warm start) still skips stage 1
+    r3 = main(["--geo-steps", "2", "--agent-steps", "0", "--batch-size", "2",
+               "--pool-size", "4", "--val-size", "2", "--scene",
+               "structured", "--load-geo", geo_dir])
+    assert len(r3["geo_losses"]) == 1  # the nan sentinel, no training
+
+
+@pytest.mark.slow
 def test_demo_embed_dim_override_geo_only(tmp_path):
     """--embed-dim/--mlp-dim (the CONVERGENCE §11 capacity probe) rebuild
     every model shape from the config; geo-only mode (--agent-steps 0)

@@ -166,6 +166,8 @@ def apply_obs_overrides(cfg: Config, args) -> Config:
         over["w_entropy"] = args.w_entropy
     if getattr(args, "alpha", None) is not None:
         over["alpha"] = args.alpha
+    if getattr(args, "unmasked_warp", False):
+        over["cost_volume_unmasked"] = True
     if getattr(args, "embed_dim", 0):
         over["embed_dim"] = args.embed_dim
     if getattr(args, "mlp_dim", 0):

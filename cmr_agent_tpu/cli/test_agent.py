@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import pose_diff
 from ..train import (create_agent_state, make_val_episode_fn,
                      restore_model_variables,
                      registration_metrics, convert_torch_agent)
@@ -37,6 +38,24 @@ def main(argv=None):
     p.add_argument("--geo-ckpt", default="")
     p.add_argument("--agent-ckpt", default="",
                    help="orbax checkpoint dir or reference agent.pth")
+    p.add_argument("--iter-ckpt", default="",
+                   help="coarse-to-fine: an IterModel checkpoint (orbax "
+                        "dir or torch .pth) runs --iter-iters cost-volume "
+                        "iterations FIRST, the problem is re-based under "
+                        "the coarse pose (env.apply_coarse_pose), the geo "
+                        "model re-perceives the near-aligned cloud, and "
+                        "the agent refines from there. Composes the "
+                        "reference's two alternative pose heads "
+                        "(IterModel + CMRAgent) into one pipeline — the "
+                        "cost volume's hypothesis warps cover the +-pi "
+                        "yaw regime where one-shot overlap perception is "
+                        "blind, the agent covers fine refinement")
+    p.add_argument("--iter-iters", type=int, default=2,
+                   help="cost-volume iterations before the agent episode")
+    p.add_argument("--unmasked-warp", action="store_true",
+                   help="warp ALL points in the cost volume "
+                        "(Config.cost_volume_unmasked); must match how "
+                        "the IterModel ckpt was trained")
     p.add_argument("--eval-batch-size", type=int, default=1,
                    help="reference protocol uses 1; larger batches "
                         "amortise the episode on TPU")
@@ -96,12 +115,57 @@ def main(argv=None):
 
     episode = make_val_episode_fn(cfg)
 
+    coarse_fn = None
+    if args.iter_ckpt:
+        from ..models import IterModel
+        from ..train.convert import convert_torch_itermodel
+        from ..train.train_iter import iter_model_state
+        from ..env import apply_coarse_pose
+
+        iter_model = IterModel(cfg)
+        geo_out0 = geo_forward(geo_vars["params"], geo_vars["batch_stats"],
+                               example)
+        state0 = iter_model_state(geo_out0, example)
+        iter_vars = jax.jit(
+            lambda r, s: iter_model.init({"params": r}, s, train=False,
+                                         with_loss=False))(
+            jax.random.key(0), state0)
+        if args.iter_ckpt.endswith(".pth"):
+            iter_vars = convert_torch_itermodel(cfg, args.iter_ckpt,
+                                                iter_vars)
+        else:
+            iter_vars = restore_model_variables(args.iter_ckpt,
+                                                dict(iter_vars))
+        print(f"loaded IterModel checkpoint from {args.iter_ckpt} "
+              f"({args.iter_iters} coarse iterations)")
+
+        @jax.jit
+        def coarse_fn(geo_out, batch):
+            st = iter_model_state(geo_out, batch)
+            for _ in range(args.iter_iters):
+                out = iter_model.apply(iter_vars, st, train=False,
+                                       with_loss=False)
+                st = dict(st, pc_i=out["pc_i"],
+                          matrix_accumulated=out["matrix_accumulated"])
+            coarse = st["matrix_accumulated"]
+            return apply_coarse_pose(batch, coarse), coarse
+
     rte_all, rre_all, times = [], [], []
+    c_rte_all, c_rre_all = [], []
     for i, batch in enumerate(loader):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         t0 = time.perf_counter()
         geo_out = geo_forward(geo_vars["params"], geo_vars["batch_stats"],
                               batch)
+        if coarse_fn is not None:
+            batch, coarse = coarse_fn(geo_out, batch)
+            # coarse-stage-only residual, for observability
+            c_rte, c_rre = pose_diff(coarse, batch["P"] @ coarse)
+            c_rte_all += np.asarray(c_rte).tolist()
+            c_rre_all += np.asarray(c_rre).tolist()
+            # re-perceive the near-aligned cloud
+            geo_out = geo_forward(geo_vars["params"],
+                                  geo_vars["batch_stats"], batch)
         final, rte, rre = episode(agent_state, geo_out, batch)
         jax.block_until_ready(final)
         dt = time.perf_counter() - t0
@@ -112,6 +176,9 @@ def main(argv=None):
             break
 
     m = registration_metrics(np.array(rte_all), np.array(rre_all))
+    if c_rte_all:
+        m["coarse_rte_mean"] = float(np.mean(c_rte_all))
+        m["coarse_rre_mean"] = float(np.mean(c_rre_all))
     # first batch includes compile; report steady-state timing too
     m["avg_episode_time_s"] = float(np.mean(times))
     m["avg_episode_time_steady_s"] = float(np.mean(times[1:]) if

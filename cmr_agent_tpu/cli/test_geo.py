@@ -26,8 +26,9 @@ from ..ops.geometry import pose_diff
 from ..train.convert import convert_torch_itermodel
 from ..train.train_iter import iter_model_state
 from ..train.train_geo import make_geo_forward
-from .common import (add_common_args, build_config, build_dataset,
-                     make_loader, maybe_initialize_distributed, set_seed)
+from .common import (add_common_args, apply_obs_overrides, build_config,
+                     build_dataset, make_loader,
+                     maybe_initialize_distributed, set_seed)
 from .train_agent import load_geo_variables
 
 
@@ -39,11 +40,14 @@ def main(argv=None):
                    help="IterModel checkpoint (orbax dir or torch .pth)")
     p.add_argument("--iters", type=int, default=1,
                    help="cost-volume refinement iterations")
+    p.add_argument("--unmasked-warp", action="store_true",
+                   help="warp ALL points (Config.cost_volume_unmasked); "
+                        "must match how the IterModel ckpt was trained")
     p.add_argument("--max-batches", type=int, default=0)
     args = p.parse_args(argv)
     maybe_initialize_distributed(args)
 
-    cfg = build_config(args)
+    cfg = apply_obs_overrides(build_config(args), args)
     set_seed(cfg.seed)
 
     test_ds = build_dataset(cfg, args, "test")

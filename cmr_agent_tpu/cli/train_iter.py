@@ -24,8 +24,9 @@ from ..train import save_train_checkpoint, restore_train_checkpoint
 from ..train.train_geo import make_geo_forward
 from ..train.train_iter import (create_iter_state, iter_model_state,
                                 make_iter_train_step)
-from .common import (add_common_args, build_config, build_dataset,
-                     make_loader, maybe_initialize_distributed, set_seed)
+from .common import (add_common_args, apply_obs_overrides, build_config,
+                     build_dataset, make_loader,
+                     maybe_initialize_distributed, set_seed)
 from .train_agent import load_geo_variables
 
 
@@ -40,10 +41,17 @@ def main(argv=None):
     p.add_argument("--resume", default="",
                    help="orbax IterModel train checkpoint dir to resume "
                         "from (params + batch stats + optimizer state)")
+    p.add_argument("--unmasked-warp", action="store_true",
+                   help="warp ALL points instead of the learned-overlap-"
+                        "masked subset (Config.cost_volume_unmasked): the "
+                        "per-hypothesis frustum test still filters "
+                        "geometrically, and the cost volume stops "
+                        "depending on the overlap head (blind on held-out "
+                        "scenes at +-pi yaw, docs/CONVERGENCE.md sec. 11)")
     args = p.parse_args(argv)
     maybe_initialize_distributed(args)
 
-    cfg = build_config(args)
+    cfg = apply_obs_overrides(build_config(args), args)
     set_seed(cfg.seed)
     val_interval = args.val_interval or cfg.val_interval
 

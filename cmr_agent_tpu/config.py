@@ -118,6 +118,15 @@ class Config:
 
     # <----------- cost-volume (IterModel) ---------->
     nlabel: int = 9
+    # Warp ALL points instead of the learned-overlap-masked subset
+    # (reference IterModel.py:272-274 masks by pc_overlap_pred with a
+    # standby fallback). The per-hypothesis frustum test still filters
+    # geometrically, so this is NOT an oracle — it removes the cost
+    # volume's dependence on the overlap head, which is blind on held-out
+    # scenes at +-pi yaw (docs/CONVERGENCE.md section 11): with both
+    # masks empty the reference semantics would warp nothing and score a
+    # constant grid.
+    cost_volume_unmasked: bool = False
 
     # <----------- TPU-specific knobs (no reference analog) ---------->
     compute_dtype: str = "float32"  # "float32" | "bfloat16"

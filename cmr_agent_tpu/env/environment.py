@@ -71,6 +71,38 @@ def bearing_init_pose(state):
     return rows
 
 
+def apply_coarse_pose(batch, coarse):
+    """Re-base the registration problem under a coarse pose estimate.
+
+    Coarse-to-fine composition (no reference equivalent — the reference
+    never chains IterModel into Test_Agent): given ``coarse [B, 4, 4]``
+    mapping the perturbed cloud toward camera alignment (e.g. IterModel's
+    ``matrix_accumulated``), return a new batch whose cloud/nodes are
+    transformed by ``coarse`` and whose target becomes the residual
+    ``P @ coarse^-1``. Running the standard pipeline (geo forward +
+    episode) on the result re-perceives overlap/features in the
+    near-aligned regime, where the one-shot heads are reliable
+    (docs/CONVERGENCE.md sections 11/13), and the episode's final
+    RTE/RRE against the new target IS the full pipeline's residual error.
+
+    Rigid-invariant keys (``pt2node``, masks, circle-loss samples,
+    ``point_xy_float_all``, amplitudes) pass through unchanged.
+    """
+    from ..ops.geometry import se3_inverse
+
+    R = coarse[..., :3, :3].astype(jnp.float32)
+    t = coarse[..., :3, 3].astype(jnp.float32)
+    xform = lambda x: (jnp.einsum("bij,bnj->bni", R, x.astype(jnp.float32))
+                       + t[:, None, :])
+    out = dict(batch)
+    out["pc"] = xform(batch["pc"])
+    if "node" in batch:
+        out["node"] = xform(batch["node"])
+    out["P"] = (batch["P"].astype(jnp.float32)
+                @ se3_inverse(coarse.astype(jnp.float32)))
+    return out
+
+
 def compact_observation_state(state, k: int):
     """Pre-compact the rasterisation inputs to the top-``k`` overlap points.
 

@@ -103,6 +103,10 @@ class IterModel(nn.Module):
         standby = state.get("pc_overlap_pred_standby", primary)
         has_primary = jnp.any(primary, axis=1, keepdims=True)
         mask = jnp.where(has_primary, primary, standby)        # [B, N]
+        if cfg.cost_volume_unmasked:
+            # warp every point; the per-hypothesis frustum test filters
+            # geometrically (see Config.cost_volume_unmasked)
+            mask = jnp.ones_like(mask)
 
         poses, delta_r, delta_t = sample_pose_grid(
             state["R_amplitude"], state["T_amplitude"], nl)

@@ -106,6 +106,12 @@ def main(argv=None):
                    help="starting yaw amplitude (rad) for "
                         "--geo-curriculum (default pi/4, the measured "
                         "turn-on point of the amplitude-frontier study)")
+    p.add_argument("--geo-select-ir", action="store_true",
+                   help="select the best geo snapshot by held-out matching "
+                        "inlier ratio instead of overlap accuracy — for "
+                        "runs whose consumer is the cost volume (which "
+                        "matches circle-loss features under explicit "
+                        "hypothesis warps) rather than the overlap head")
     p.add_argument("--geo-warm-start", action="store_true",
                    help="with --load-geo: continue stage-1 training from "
                         "the checkpoint instead of skipping it (fresh "
@@ -362,7 +368,11 @@ def main(argv=None):
         """
         if val_batches is None:
             return None
-        accs, rates, gts = [], [], []
+        from cmr_agent_tpu.models.multi_head import matching_inlier_ratio
+        ir_fn = jax.jit(jax.vmap(
+            lambda pf, imf, m, xy: matching_inlier_ratio(
+                pf, imf, m, xy, cfg.image_w, cfg.image_h)))
+        accs, rates, gts, irs = [], [], [], []
         for vb in val_batches:
             out = raw_fwd(state.params, state.batch_stats, vb)
             pred = np.asarray(out["pc_overlap_pred"])
@@ -370,8 +380,14 @@ def main(argv=None):
             accs.append((pred == gt).mean())
             rates.append(pred.mean())
             gts.append(gt.mean())
+            # circle-loss feature quality, independent of the overlap head:
+            # held-out matching inlier ratio (Test_Geo protocol, <=3 px)
+            irs.append(float(np.mean(np.asarray(ir_fn(
+                out["pc_geo_feat"], out["img_geo_feat"],
+                jnp.asarray(vb["pc_mask"]).astype(bool),
+                vb["point_xy_float_all"])))))
         return (float(np.mean(accs)), float(np.mean(rates)),
-                float(np.mean(gts)))
+                float(np.mean(gts)), float(np.mean(irs)))
 
     t0 = time.time()
     losses = []
@@ -418,22 +434,23 @@ def main(argv=None):
                 print(f"[geo] step {i:3d} loss {losses[-1]:.4f}", flush=True)
             if val_batches is not None and i > 0 and \
                     i % max(100, args.geo_steps // 20) == 0:
-                acc, rate, gtr = geo_holdout_overlap(geo_state)
+                acc, rate, gtr, ir = geo_holdout_overlap(geo_state)
                 # keep the BEST held-out snapshot, saved incrementally
                 # (like the agent stage): the held-out accuracy
                 # oscillates ~1pp between checkpoints, so the final
                 # state can be a weak point (run P1: final 0.884 with
                 # pred-rate 0.025 vs best 0.895 with 0.134)
                 tag = ""
-                if args.save_geo and acc > best_geo_acc:
-                    best_geo_acc = acc
+                sel = ir if args.geo_select_ir else acc
+                if args.save_geo and sel > best_geo_acc:
+                    best_geo_acc = sel
                     _save_geo()
                     tag = "  *saved*"
                 amp = (f" train-r-amp {geo_r_scale(i) * cfg.p_ry_amplitude:.3f}"
                        if args.geo_curriculum > 0 else "")
                 print(f"[geo-val] step {i:3d} pc-acc {acc:.3f} "
-                      f"pred-rate {rate:.3f} gt-rate {gtr:.3f}{amp}{tag}",
-                      flush=True)
+                      f"pred-rate {rate:.3f} gt-rate {gtr:.3f} "
+                      f"IR {ir:.3f}{amp}{tag}", flush=True)
         print(f"[geo] loss {losses[0]:.4f} -> {losses[-1]:.4f} "
               f"({time.time()-t0:.0f}s)")
         if args.geo_curriculum <= 0 and not args.geo_warm_start:
@@ -447,7 +464,8 @@ def main(argv=None):
               flush=True)
         if args.save_geo:
             final_hold = geo_holdout_overlap(geo_state)
-            if final_hold is None or final_hold[0] > best_geo_acc:
+            sel_idx = 3 if args.geo_select_ir else 0
+            if final_hold is None or final_hold[sel_idx] > best_geo_acc:
                 _save_geo()
                 print(f"[geo] saved to {args.save_geo}", flush=True)
             else:
@@ -462,14 +480,17 @@ def main(argv=None):
                 geo_state = geo_state.replace(
                     params=m["params"], batch_stats=m["batch_stats"])
                 print(f"[geo] kept best held-out snapshot in "
-                      f"{args.save_geo} (acc {best_geo_acc:.3f} > final "
-                      f"{final_hold[0]:.3f}) and reloaded it", flush=True)
+                      f"{args.save_geo} "
+                      f"({'IR' if args.geo_select_ir else 'acc'} "
+                      f"{best_geo_acc:.3f} > final "
+                      f"{final_hold[sel_idx]:.3f}) and reloaded it",
+                      flush=True)
 
     holdout = geo_holdout_overlap(geo_state)
     if holdout is not None:
         print(f"[geo-val] final pc-acc {holdout[0]:.3f} "
-              f"pred-rate {holdout[1]:.3f} gt-rate {holdout[2]:.3f}",
-              flush=True)
+              f"pred-rate {holdout[1]:.3f} gt-rate {holdout[2]:.3f} "
+              f"IR {holdout[3]:.3f}", flush=True)
     if args.agent_steps == 0:
         # geo-only run (e.g. the held-out-overlap diversity experiments)
         return {"geo_losses": losses, "geo_holdout": holdout}

@@ -45,6 +45,33 @@ def test_cli_train_eval_roundtrip(tmp_path, monkeypatch):
     assert 0.0 <= r["matching_inlier_ratio"] <= 1.0
 
 
+@pytest.mark.slow
+def test_cli_coarse_to_fine_pipeline(tmp_path, monkeypatch):
+    """IterModel coarse -> re-perceive -> agent fine, composed in
+    test_agent via --iter-ckpt (env.apply_coarse_pose re-bases the
+    problem under the coarse pose)."""
+    from cmr_agent_tpu.config import micro_config
+    import cmr_agent_tpu.cli.common as cli_common
+    monkeypatch.setattr(cli_common, "tiny_config", micro_config)
+    from cmr_agent_tpu.cli import train_iter, test_agent
+
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ckpt")
+    common = ["--dataset", "synthetic", "--tiny", "--synthetic-length", "2",
+              "--batch-size", "2", "--logdir", log, "--ckpt-dir", ckpt]
+    train_iter.main(common + ["--steps", "1", "--unmasked-warp"])
+    iter_ckpts = glob.glob(os.path.join(ckpt, "iter_*", "epoch-*"))
+    assert iter_ckpts, "train_iter produced no checkpoint"
+
+    m = test_agent.main(["--dataset", "synthetic", "--tiny",
+                         "--synthetic-length", "2", "--eval-batch-size", "2",
+                         "--max-batches", "1", "--unmasked-warp",
+                         "--iter-ckpt", iter_ckpts[0], "--iter-iters", "1"])
+    assert 0.0 <= m["registration_recall"] <= 1.0
+    assert np.isfinite(m["coarse_rte_mean"])
+    assert np.isfinite(m["coarse_rre_mean"])
+
+
 def test_stop_file_checkpoints_and_exits(tmp_path, monkeypatch):
     """--stop-file must exit cleanly with a resumable checkpoint (killing
     a mid-step TPU process can wedge the device grant on remote

@@ -306,6 +306,50 @@ def test_episode_with_bearing_channels(aux_head):
     assert np.isfinite(np.asarray(final)).all()
 
 
+def test_apply_coarse_pose_rebases_problem():
+    """Re-basing under the TRUE pose leaves a (near-)identity residual
+    target, and the transform preserves rigid invariants."""
+    from cmr_agent_tpu.env import apply_coarse_pose
+    from cmr_agent_tpu.ops import pose_diff
+
+    rng = np.random.default_rng(3)
+    B, N = 2, 64
+    pc = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
+    node = pc[:, :16]
+    P = jnp.stack([
+        jnp.asarray(make_se3(Rotation.from_euler(
+            "y", a).as_matrix(), t), jnp.float32)
+        for a, t in [(0.7, [1.0, 0.0, -2.0]), (-2.9, [4.0, 0.0, 3.0])]])
+    batch = {"pc": pc, "node": node, "P": P,
+             "pt2node": jnp.zeros((B, N), jnp.int32)}
+
+    # coarse == the full true pose -> residual target is identity
+    out = apply_coarse_pose(batch, P)
+    rte, rre = pose_diff(out["P"],
+                         jnp.broadcast_to(jnp.eye(4), (B, 4, 4)))
+    np.testing.assert_allclose(np.asarray(rte), 0.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rre), 0.0, atol=1e-3)
+    # the cloud was really transformed by P
+    want = (jnp.einsum("bij,bnj->bni", P[:, :3, :3], pc)
+            + P[:, None, :3, 3])
+    np.testing.assert_allclose(np.asarray(out["pc"]), np.asarray(want),
+                               atol=1e-5)
+    # rigid invariants: pairwise distances preserved; pt2node untouched
+    d0 = np.linalg.norm(np.asarray(pc[:, :1] - pc), axis=-1)
+    d1 = np.linalg.norm(np.asarray(out["pc"][:, :1] - out["pc"]), axis=-1)
+    np.testing.assert_allclose(d1, d0, atol=1e-4)
+    assert out["pt2node"] is batch["pt2node"]
+
+    # partial coarse pose: residual composes back to the original target
+    half = jnp.stack([
+        jnp.asarray(make_se3(Rotation.from_euler(
+            "y", a).as_matrix(), t), jnp.float32)
+        for a, t in [(0.35, [0.5, 0.0, -1.0]), (-1.45, [2.0, 0.0, 1.5])]])
+    out2 = apply_coarse_pose(batch, half)
+    np.testing.assert_allclose(np.asarray(out2["P"] @ half),
+                               np.asarray(P), atol=1e-4)
+
+
 def test_reward_improves_toward_target():
     rng = np.random.default_rng(3)
     B, N = 2, 100

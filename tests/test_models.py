@@ -187,6 +187,20 @@ def test_iter_model_forward(cfg):
     R = np.asarray(out["matrix_i"])[0, :3, :3]
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
 
+    # cost_volume_unmasked: BOTH masks empty — reference semantics would
+    # warp nothing (constant logits); the unmasked warp still scores a
+    # varying grid from the geometric frustum test alone
+    import dataclasses
+    blind = dict(state)
+    blind["pc_overlap_pred"] = jnp.zeros((1, N), bool)
+    blind["pc_overlap_pred_standby"] = jnp.zeros((1, N), bool)
+    ucfg = dataclasses.replace(cfg, cost_volume_unmasked=True)
+    umodel = IterModel(ucfg)
+    uout = umodel.apply(ivars, blind, train=False)
+    logits = np.asarray(uout["cost_volume_logits"])[0]
+    assert np.isfinite(logits).all()
+    assert logits.std() > 0.0  # not a constant grid
+
 
 def test_pointnet_capability_surface(cfg):
     rng = np.random.default_rng(3)

@@ -45,6 +45,11 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="auto = process pool for the GIL-bound real "
                         "datasets when workers > 1, threads otherwise; "
                         "sync = in-line loading (debug)")
+    p.add_argument("--dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype override (Config.compute_dtype); "
+                        "bfloat16 is the measured TPU operating point "
+                        "(README perf table)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax NaN debugging (fails fast on any NaN)")
     p.add_argument("--stop-file", default="",
@@ -122,6 +127,8 @@ def build_config(args) -> Config:
         overrides["logdir"] = args.logdir
     if args.ckpt_dir is not None:
         overrides["ckpt_dir"] = args.ckpt_dir
+    if getattr(args, "dtype", None) is not None:
+        overrides["compute_dtype"] = args.dtype
 
     if args.tiny:
         return tiny_config(**overrides)

@@ -221,6 +221,24 @@ def test_apply_obs_overrides_single_mapping():
     assert (out.p_tx_amplitude, out.p_tz_amplitude) == (2.5, 2.5)
     assert out.p_ry_amplitude == 0.5
     assert (out.embed_dim, out.mlp_dim) == (128, 256)
+    # unmasked-warp routes through the same mapping
+    um = apply_obs_overrides(cfg, argparse.Namespace(unmasked_warp=True))
+    assert um.cost_volume_unmasked
     # absent attributes are skipped; 0/None sentinels keep defaults
     plain = apply_obs_overrides(cfg, argparse.Namespace(embed_dim=0))
     assert plain == cfg
+
+
+def test_build_config_dtype_override():
+    """--dtype maps onto Config.compute_dtype for every CLI."""
+    import argparse
+
+    from cmr_agent_tpu.cli.common import build_config
+
+    args = argparse.Namespace(
+        dataset="synthetic", data_root="", tiny=True, batch_size=None,
+        epochs=None, seed=None, logdir=None, ckpt_dir=None,
+        dtype="bfloat16", debug_nans=False)
+    assert build_config(args).compute_dtype == "bfloat16"
+    args.dtype = None
+    assert build_config(args).compute_dtype == "float32"

@@ -52,6 +52,15 @@ def main(argv=None):
                         "blind, the agent covers fine refinement")
     p.add_argument("--iter-iters", type=int, default=2,
                    help="cost-volume iterations before the agent episode")
+    p.add_argument("--fine-geo-ckpt", default="",
+                   help="optional SECOND geo checkpoint for the fine "
+                        "stage: re-perception after the coarse re-basing "
+                        "and the agent episode use this model, while "
+                        "--geo-ckpt feeds the cost volume. Lets each "
+                        "stage use perception trained for its operating "
+                        "regime (full-amplitude features for the "
+                        "hypothesis warp, small-residual overlap for the "
+                        "refinement). Defaults to --geo-ckpt")
     p.add_argument("--unmasked-warp", action="store_true",
                    help="warp ALL points in the cost volume "
                         "(Config.cost_volume_unmasked); must match how "
@@ -94,6 +103,12 @@ def main(argv=None):
     example = {k: jnp.asarray(v) for k, v in first.items()}
     geo_vars = load_geo_variables(cfg, args, example)
     geo_forward = make_geo_forward(cfg)
+    fine_geo_vars = geo_vars
+    if args.fine_geo_ckpt:
+        import argparse as _ap
+        fine_geo_vars = load_geo_variables(
+            cfg, _ap.Namespace(geo_ckpt=args.fine_geo_ckpt), example)
+        print(f"fine stage uses geo checkpoint {args.fine_geo_ckpt}")
 
     h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
     agent_state = create_agent_state(
@@ -163,9 +178,9 @@ def main(argv=None):
             c_rte, c_rre = pose_diff(coarse, batch["P"] @ coarse)
             c_rte_all += np.asarray(c_rte).tolist()
             c_rre_all += np.asarray(c_rre).tolist()
-            # re-perceive the near-aligned cloud
-            geo_out = geo_forward(geo_vars["params"],
-                                  geo_vars["batch_stats"], batch)
+            # re-perceive the near-aligned cloud (fine-stage geo)
+            geo_out = geo_forward(fine_geo_vars["params"],
+                                  fine_geo_vars["batch_stats"], batch)
         final, rte, rre = episode(agent_state, geo_out, batch)
         jax.block_until_ready(final)
         dt = time.perf_counter() - t0

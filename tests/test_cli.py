@@ -53,12 +53,15 @@ def test_cli_coarse_to_fine_pipeline(tmp_path, monkeypatch):
     from cmr_agent_tpu.config import micro_config
     import cmr_agent_tpu.cli.common as cli_common
     monkeypatch.setattr(cli_common, "tiny_config", micro_config)
-    from cmr_agent_tpu.cli import train_iter, test_agent
+    from cmr_agent_tpu.cli import train_geo, train_iter, test_agent
 
     log = str(tmp_path / "log")
     ckpt = str(tmp_path / "ckpt")
     common = ["--dataset", "synthetic", "--tiny", "--synthetic-length", "2",
               "--batch-size", "2", "--logdir", log, "--ckpt-dir", ckpt]
+    train_geo.main(common + ["--steps", "1"])
+    geo_ckpts = glob.glob(os.path.join(ckpt, "*", "epoch-*"))
+    assert geo_ckpts, "train_geo produced no checkpoint"
     train_iter.main(common + ["--steps", "1", "--unmasked-warp"])
     iter_ckpts = glob.glob(os.path.join(ckpt, "iter_*", "epoch-*"))
     assert iter_ckpts, "train_iter produced no checkpoint"
@@ -66,7 +69,10 @@ def test_cli_coarse_to_fine_pipeline(tmp_path, monkeypatch):
     m = test_agent.main(["--dataset", "synthetic", "--tiny",
                          "--synthetic-length", "2", "--eval-batch-size", "2",
                          "--max-batches", "1", "--unmasked-warp",
-                         "--iter-ckpt", iter_ckpts[0], "--iter-iters", "1"])
+                         "--iter-ckpt", iter_ckpts[0], "--iter-iters", "1",
+                         # per-stage perception: coarse keeps the random
+                         # init (no --geo-ckpt), fine loads the trained geo
+                         "--fine-geo-ckpt", geo_ckpts[0]])
     assert 0.0 <= m["registration_recall"] <= 1.0
     assert np.isfinite(m["coarse_rte_mean"])
     assert np.isfinite(m["coarse_rre_mean"])

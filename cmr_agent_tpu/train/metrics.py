@@ -21,7 +21,14 @@ def registration_metrics(rte: np.ndarray, rre: np.ndarray,
     rte = np.asarray(rte, dtype=np.float64)
     rre = np.asarray(rre, dtype=np.float64)
     mask = (rte < rte_thresh) & (rre < rre_thresh)
-    out = {"registration_recall": float(mask.sum() / max(mask.size, 1))}
+    out = {"registration_recall": float(mask.sum() / max(mask.size, 1)),
+           # medians over ALL samples (not only recalled): the demo's
+           # half-solved-vs-uniformly-stuck diagnostic (CONVERGENCE.md
+           # section 9); the reference reports only recalled-mean/std
+           "rte_median_all": float(np.median(rte)) if rte.size else
+           float("nan"),
+           "rre_median_all": float(np.median(rre)) if rre.size else
+           float("nan")}
     if mask.any():
         out.update(rte_mean=float(rte[mask].mean()),
                    rte_std=float(rte[mask].std()),

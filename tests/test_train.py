@@ -245,6 +245,9 @@ def test_metric_logger(tmp_path):
     m = registration_metrics(np.array([1.0, 20.0]), np.array([2.0, 3.0]))
     assert m["registration_recall"] == 0.5
     assert m["rte_mean"] == 1.0
+    # medians cover ALL samples, not only recalled ones
+    assert m["rte_median_all"] == 10.5
+    assert m["rre_median_all"] == 2.5
 
 
 def test_agent_bc_learns_on_fixed_rollout():

@@ -69,6 +69,11 @@ def main(argv=None):
                    help="reference protocol uses 1; larger batches "
                         "amortise the episode on TPU")
     p.add_argument("--max-batches", type=int, default=0)
+    p.add_argument("--t-amp", type=float, default=None,
+                   help="translation perturbation amplitude override (m) "
+                        "— synthetic evaluation at a chosen difficulty")
+    p.add_argument("--r-amp", type=float, default=None,
+                   help="yaw perturbation amplitude override (rad)")
     p.add_argument("--save-mat", default="",
                    help="dump per-episode timings to a .mat file "
                         "(reference Test_Agent.py:196 parity)")

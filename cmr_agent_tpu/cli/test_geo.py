@@ -44,6 +44,10 @@ def main(argv=None):
                    help="warp ALL points (Config.cost_volume_unmasked); "
                         "must match how the IterModel ckpt was trained")
     p.add_argument("--max-batches", type=int, default=0)
+    p.add_argument("--t-amp", type=float, default=None,
+                   help="translation perturbation amplitude override (m)")
+    p.add_argument("--r-amp", type=float, default=None,
+                   help="yaw perturbation amplitude override (rad)")
     args = p.parse_args(argv)
     maybe_initialize_distributed(args)
 

@@ -89,6 +89,8 @@ def main(argv=None):
     from ..models import IterModel
     iter_model = IterModel(cfg)
 
+    from ..train.train_iter import per_axis_accuracy
+
     @jax.jit
     def eval_fn(params, batch_stats, st):
         out = iter_model.apply({"params": params,
@@ -97,19 +99,25 @@ def main(argv=None):
         pred = jnp.argmax(out["cost_volume_logits"], axis=-1)
         label = jnp.argmax(out["cost_volume_label"], axis=-1)
         acc = jnp.mean((pred == label).astype(jnp.float32))
-        return out["cost_volume_loss"], acc
+        ax = per_axis_accuracy(cfg, out["cost_volume_logits"],
+                               out["cost_volume_label"])
+        return out["cost_volume_loss"], acc, ax
 
     def validate():
-        losses, accs = [], []
+        losses, accs, axs = [], [], []
         for vb in val_loader:
             vb = {k: jnp.asarray(v) for k, v in vb.items()}
             geo_out = geo_forward(geo_vars["params"],
                                   geo_vars["batch_stats"], vb)
             st = iter_model_state(geo_out, vb)
-            vl, va = eval_fn(iter_state.params, iter_state.batch_stats, st)
+            vl, va, ax = eval_fn(iter_state.params, iter_state.batch_stats,
+                                 st)
             losses.append(float(vl))
             accs.append(float(va))
-        return float(np.mean(losses)), float(np.mean(accs))
+            axs.append({k: float(v) for k, v in ax.items()})
+        ax_mean = {k: float(np.mean([a[k] for a in axs]))
+                   for k in axs[0]} if axs else {}
+        return float(np.mean(losses)), float(np.mean(accs)), ax_mean
 
     for epoch in range(cfg.epoch):
         loader.set_epoch(epoch)
@@ -129,15 +137,18 @@ def main(argv=None):
             iter_state, metrics = step_fn(iter_state, st)
 
             if step % val_interval == 0:
-                vl, va = validate()
+                vl, va, vax = validate()
                 improved = vl < best_loss
                 best_loss = min(best_loss, vl)
                 from ..train.optim import make_lr_schedule
                 cur_lr = float(make_lr_schedule(
                     cfg, max(1, len(loader)))(int(iter_state.step)))
                 print(f"[val] step {step} cv_loss {vl:.4f} "
-                      f"grid_acc {va:.3f} lr {cur_lr:.2e} "
-                      f"(best {best_loss:.4f})",
+                      f"grid_acc {va:.3f} "
+                      f"ry/tx/tz {vax.get('acc_ry', float('nan')):.3f}/"
+                      f"{vax.get('acc_tx', float('nan')):.3f}/"
+                      f"{vax.get('acc_tz', float('nan')):.3f} "
+                      f"lr {cur_lr:.2e} (best {best_loss:.4f})",
                       flush=True)
                 if improved:
                     save_train_checkpoint(

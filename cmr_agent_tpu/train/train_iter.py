@@ -72,6 +72,26 @@ def create_iter_state(cfg: Config, example_state: Dict, rng: jax.Array,
     )
 
 
+def per_axis_accuracy(cfg: Config, logits, label):
+    """Marginal per-axis decode accuracies (ry / tx / tz).
+
+    The deployment decode is per-axis marginal argmax (reference
+    IterModel.py:443-456), so these — not the joint 729-way grid accuracy
+    — are the operative quality measure; they also separate "rotation
+    learned, translation not" during training.
+    """
+    nl = cfg.nlabel
+    p = jax.nn.softmax(logits, axis=-1).reshape(-1, nl, nl, nl)
+    l3 = label.reshape(-1, nl, nl, nl)
+    axes = {"acc_ry": (2, 3), "acc_tx": (1, 3), "acc_tz": (1, 2)}
+    out = {}
+    for k, ax in axes.items():
+        pm = jnp.argmax(p.sum(axis=ax), axis=-1)
+        lm = jnp.argmax(l3.sum(axis=ax), axis=-1)
+        out[k] = jnp.mean((pm == lm).astype(jnp.float32))
+    return out
+
+
 def make_iter_train_step(cfg: Config):
     """Jitted ``(state, iter_state_dict) -> (state, metrics)``.
 
@@ -98,6 +118,8 @@ def make_iter_train_step(cfg: Config):
             "cost_volume_loss": loss,
             "grid_accuracy": jnp.mean((pred == label).astype(jnp.float32)),
         }
+        metrics.update(per_axis_accuracy(cfg, out["cost_volume_logits"],
+                                         out["cost_volume_label"]))
         new_state = state.replace(
             step=state.step + 1, params=new_params,
             batch_stats=mutated.get("batch_stats", state.batch_stats),

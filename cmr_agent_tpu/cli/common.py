@@ -29,6 +29,11 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--logdir", default=None)
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--synthetic-length", type=int, default=64)
+    p.add_argument("--val-length", type=int, default=0,
+                   help="synthetic val/test split size (0 = same as "
+                        "--synthetic-length). The TRAIN length paces "
+                        "epoch-granular StepLR decays, so large train "
+                        "lengths need not inflate validation cost")
     p.add_argument("--synthetic-scene", default="random",
                    choices=["random", "structured"],
                    help="synthetic generator: 'structured' (persistent "
@@ -189,7 +194,10 @@ def build_dataset(cfg: Config, args, mode: str):
     fps_fn, nn_fn = get_fast_host_ops()
     if args.dataset == "synthetic" or args.tiny:
         seed = {"train": 0, "val": 1, "test": 2}[mode]
-        return SyntheticDataset(cfg, length=args.synthetic_length, seed=seed,
+        length = args.synthetic_length
+        if mode != "train" and getattr(args, "val_length", 0):
+            length = args.val_length
+        return SyntheticDataset(cfg, length=length, seed=seed,
                                 fps_fn=fps_fn, nn_fn=nn_fn,
                                 scene=getattr(args, "synthetic_scene",
                                               "random"))

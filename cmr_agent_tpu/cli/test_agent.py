@@ -52,6 +52,19 @@ def main(argv=None):
                         "blind, the agent covers fine refinement")
     p.add_argument("--iter-iters", type=int, default=2,
                    help="cost-volume iterations before the agent episode")
+    p.add_argument("--iter-shrink", type=float, default=1.0,
+                   help="amplitude schedule across cost-volume iterations: "
+                        "iteration i>0 scales R/T_amplitude by this factor "
+                        "(1.0 = reference behaviour, Test_Geo.py re-scores "
+                        "the SAME +-amplitude grid every pass, so decode "
+                        "resolution is capped at half a bin = amp/(nlabel-1) "
+                        "no matter how many iterations run). After one pass "
+                        "the residual is at most one bin, so a factor near "
+                        "2/(nlabel-1) re-spans the residual with the full "
+                        "grid and multiplies resolution by (nlabel-1)/2 per "
+                        "iteration; the scoring tower generalises across "
+                        "grid scales because alignment quality, not grid "
+                        "pitch, drives its input statistics")
     p.add_argument("--fine-geo-ckpt", default="",
                    help="optional SECOND geo checkpoint for the fine "
                         "stage: re-perception after the coarse re-basing "
@@ -162,7 +175,13 @@ def main(argv=None):
         @jax.jit
         def coarse_fn(geo_out, batch):
             st = iter_model_state(geo_out, batch)
-            for _ in range(args.iter_iters):
+            for it in range(args.iter_iters):
+                if it > 0 and args.iter_shrink != 1.0:
+                    st = dict(st,
+                              R_amplitude=st["R_amplitude"]
+                              * args.iter_shrink,
+                              T_amplitude=st["T_amplitude"]
+                              * args.iter_shrink)
                 out = iter_model.apply(iter_vars, st, train=False,
                                        with_loss=False)
                 st = dict(st, pc_i=out["pc_i"],

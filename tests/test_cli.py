@@ -69,7 +69,10 @@ def test_cli_coarse_to_fine_pipeline(tmp_path, monkeypatch):
     m = test_agent.main(["--dataset", "synthetic", "--tiny",
                          "--synthetic-length", "2", "--eval-batch-size", "2",
                          "--max-batches", "1", "--unmasked-warp",
-                         "--iter-ckpt", iter_ckpts[0], "--iter-iters", "1",
+                         "--iter-ckpt", iter_ckpts[0], "--iter-iters", "2",
+                         # second iteration re-spans the first's residual
+                         # with a 4x finer grid (--iter-shrink)
+                         "--iter-shrink", "0.25",
                          # per-stage perception: coarse keeps the random
                          # init (no --geo-ckpt), fine loads the trained geo
                          "--fine-geo-ckpt", geo_ckpts[0]])

@@ -180,6 +180,8 @@ def apply_obs_overrides(cfg: Config, args) -> Config:
         over["alpha"] = args.alpha
     if getattr(args, "unmasked_warp", False):
         over["cost_volume_unmasked"] = True
+    if getattr(args, "remat", False):
+        over["cost_volume_remat"] = True
     if getattr(args, "embed_dim", 0):
         over["embed_dim"] = args.embed_dim
     if getattr(args, "mlp_dim", 0):

@@ -48,6 +48,13 @@ def main(argv=None):
                         "geometrically, and the cost volume stops "
                         "depending on the overlap head (blind on held-out "
                         "scenes at +-pi yaw, docs/CONVERGENCE.md sec. 11)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialise the cost-volume forward in the "
+                        "train step (Config.cost_volume_remat): ~1.3x "
+                        "step time for ~2x batch headroom — the "
+                        "hypothesis volume is ~1 GB/sample in bf16 at "
+                        "KITTI scale, which OOMs a B=8 train step on a "
+                        "16 GB chip without this")
     args = p.parse_args(argv)
     maybe_initialize_distributed(args)
 

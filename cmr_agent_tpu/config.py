@@ -127,6 +127,14 @@ class Config:
     # masks empty the reference semantics would warp nothing and score a
     # constant grid.
     cost_volume_unmasked: bool = False
+    # Rematerialise the cost-volume forward in the train step
+    # (jax.checkpoint): the [B, nlabel^3, H, W, 2F+2] hypothesis volume
+    # plus scoring-tower activations otherwise live from forward to
+    # backward — at KITTI scale that is ~1 GB per sample in bf16, which
+    # caps the train batch at 4 on a 16 GB chip. Remat recomputes the
+    # forward during the backward pass instead (~1.3x step time for
+    # ~2x batch headroom). Eval/decode paths are unaffected.
+    cost_volume_remat: bool = False
 
     # <----------- TPU-specific knobs (no reference analog) ---------->
     compute_dtype: str = "float32"  # "float32" | "bfloat16"

@@ -100,11 +100,22 @@ def make_iter_train_step(cfg: Config):
     """
 
     def train_step(state: IterTrainState, batch_state: Dict):
+        def fwd(params, batch_stats, bstate):
+            return state.apply_fn(
+                {"params": params, "batch_stats": batch_stats},
+                bstate, train=True, with_loss=True,
+                mutable=["batch_stats"])
+
+        if cfg.cost_volume_remat:
+            # Trade FLOPs for HBM: the hypothesis volume + tower
+            # activations are recomputed during backward instead of held
+            # across the forward->backward gap (Config.cost_volume_remat).
+            fwd = jax.checkpoint(fwd)
+
         def loss_fn(params):
-            out, mutated = state.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                jax.tree.map(jax.lax.stop_gradient, batch_state),
-                train=True, with_loss=True, mutable=["batch_stats"])
+            out, mutated = fwd(
+                params, state.batch_stats,
+                jax.tree.map(jax.lax.stop_gradient, batch_state))
             return out["cost_volume_loss"], (out, mutated)
 
         (loss, (out, mutated)), grads = jax.value_and_grad(

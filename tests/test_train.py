@@ -334,6 +334,22 @@ def test_iter_model_train_step_descends():
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
 
+    # cost_volume_remat is a pure memory/time trade: one rematerialised
+    # step must match the plain step numerically (same grads, same loss)
+    import dataclasses
+    s0 = create_iter_state(CFG, state_dict, jax.random.key(1))
+    s0_r = create_iter_state(CFG, state_dict, jax.random.key(1))
+    step_r = make_iter_train_step(
+        dataclasses.replace(CFG, cost_volume_remat=True))
+    s1, m1 = step(s0, state_dict)
+    s1_r, m1_r = step_r(s0_r, state_dict)
+    assert np.allclose(float(m1["cost_volume_loss"]),
+                       float(m1_r["cost_volume_loss"]), rtol=1e-6)
+    f1, _ = jax.flatten_util.ravel_pytree(s1.params)
+    f1_r, _ = jax.flatten_util.ravel_pytree(s1_r.params)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f1_r),
+                               rtol=1e-5, atol=1e-6)
+
 
 @pytest.mark.slow
 def test_multi_step_matches_sequential_single_steps():

@@ -155,6 +155,9 @@ def main(argv=None):
                       f"ry/tx/tz {vax.get('acc_ry', float('nan')):.3f}/"
                       f"{vax.get('acc_tx', float('nan')):.3f}/"
                       f"{vax.get('acc_tz', float('nan')):.3f} "
+                      f"1bin {vax.get('acc_ry_1bin', float('nan')):.3f}/"
+                      f"{vax.get('acc_tx_1bin', float('nan')):.3f}/"
+                      f"{vax.get('acc_tz_1bin', float('nan')):.3f} "
                       f"lr {cur_lr:.2e} (best {best_loss:.4f})",
                       flush=True)
                 if improved:

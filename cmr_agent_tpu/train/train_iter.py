@@ -89,6 +89,12 @@ def per_axis_accuracy(cfg: Config, logits, label):
         pm = jnp.argmax(p.sum(axis=ax), axis=-1)
         lm = jnp.argmax(l3.sum(axis=ax), axis=-1)
         out[k] = jnp.mean((pm == lm).astype(jnp.float32))
+        # within-one-bin: the operative coarse-stage quality — a 1-bin
+        # miss leaves a residual the iteration/fine stage re-spans
+        # (2*amplitude/(nlabel-1) per bin), while exact-bin accuracy
+        # understates a decode that is consistently adjacent
+        out[k + "_1bin"] = jnp.mean(
+            (jnp.abs(pm - lm) <= 1).astype(jnp.float32))
     return out
 
 

@@ -76,7 +76,10 @@ def main(argv=None):
     def run():
         nonlocal state
         microbatches = []
-        global_step, best_loss = 0, float("inf")
+        # continue from the restored step on --resume so checkpoint names
+        # don't collide with the interrupted run's and --steps caps TOTAL
+        # steps across resumes (the schedule continues via opt_state)
+        global_step, best_loss = int(state.step), float("inf")
         for epoch in range(cfg.epoch):
             train_loader.set_epoch(epoch)
             for batch in train_loader:

@@ -91,7 +91,11 @@ def main(argv=None):
 
     ckpt_root = os.path.join(cfg.ckpt_dir, f"iter_{cfg.name}")
     best_loss = float("inf")
-    step = 0
+    # continue the counter from the restored optimizer step so checkpoint
+    # names don't collide with the interrupted run's and --steps caps
+    # TOTAL steps across resumes (the lr schedule already continues via
+    # the restored opt_state)
+    step = int(iter_state.step)
 
     from ..models import IterModel
     iter_model = IterModel(cfg)

@@ -52,6 +52,18 @@ def main(argv=None):
                         "blind, the agent covers fine refinement")
     p.add_argument("--iter-iters", type=int, default=2,
                    help="cost-volume iterations before the agent episode")
+    p.add_argument("--iter-hypotheses", type=int, default=1,
+                   help="multi-hypothesis composition: refine the top-N "
+                        "yaw candidates of the FIRST cost-volume decode "
+                        "through the full fine stage (re-perception + "
+                        "agent episode) and keep, per sample, the "
+                        "candidate with the best ground-truth-free "
+                        "feature-alignment score (env.alignment_score). "
+                        "At +-pi the first decode's yaw accuracy caps the "
+                        "pipeline (docs/CONVERGENCE.md section 16); "
+                        "verification recovers the scenes where the true "
+                        "yaw bin is ranked 2nd..Nth. Costs N fine stages. "
+                        "1 = single-hypothesis (reference-style decode)")
     p.add_argument("--iter-shrink", type=float, default=1.0,
                    help="amplitude schedule across cost-volume iterations: "
                         "iteration i>0 scales R/T_amplitude by this factor "
@@ -172,11 +184,11 @@ def main(argv=None):
         print(f"loaded IterModel checkpoint from {args.iter_ckpt} "
               f"({args.iter_iters} coarse iterations)")
 
-        @jax.jit
-        def coarse_fn(geo_out, batch):
-            st = iter_model_state(geo_out, batch)
-            for it in range(args.iter_iters):
-                if it > 0 and args.iter_shrink != 1.0:
+        def run_tail_iters(st):
+            """Cost-volume iterations 1..iter_iters-1 (shared by both the
+            single- and multi-hypothesis paths)."""
+            for _ in range(1, args.iter_iters):
+                if args.iter_shrink != 1.0:
                     st = dict(st,
                               R_amplitude=st["R_amplitude"]
                               * args.iter_shrink,
@@ -186,27 +198,114 @@ def main(argv=None):
                                        with_loss=False)
                 st = dict(st, pc_i=out["pc_i"],
                           matrix_accumulated=out["matrix_accumulated"])
-            coarse = st["matrix_accumulated"]
-            return apply_coarse_pose(batch, coarse), coarse
+            return st
+
+        if args.iter_hypotheses > 1:
+            from ..models import decode_topk_yaw_poses
+            from ..ops.geometry import transform_points
+
+            @jax.jit
+            def coarse_fn(geo_out, batch):
+                """Top-K yaw candidates from the first decode, each run
+                through the remaining iterations -> K rebased branches."""
+                st = iter_model_state(geo_out, batch)
+                out = iter_model.apply(iter_vars, st, train=False,
+                                       with_loss=False)
+                cands = decode_topk_yaw_poses(
+                    out["cost_volume_logits"], st["R_amplitude"],
+                    st["T_amplitude"], cfg.nlabel, args.iter_hypotheses)
+                branches = []
+                for k in range(args.iter_hypotheses):
+                    mk = cands[:, k]
+                    stk = dict(st,
+                               pc_i=transform_points(st["pc_i"],
+                                                     mk[:, :3, :3],
+                                                     mk[:, :3, 3]),
+                               matrix_accumulated=mk
+                               @ st["matrix_accumulated"])
+                    stk = run_tail_iters(stk)
+                    coarse = stk["matrix_accumulated"]
+                    branches.append((apply_coarse_pose(batch, coarse),
+                                     coarse))
+                return branches
+
+            from ..env import alignment_score
+
+            @jax.jit
+            def score_fn(geo_out_k, batch_k, final_k):
+                st = {"pc": geo_out_k["pc"], "K": batch_k["K"],
+                      "pc_geo_feat": geo_out_k["pc_geo_feat"],
+                      "img_geo_feat": geo_out_k["img_geo_feat"]}
+                return alignment_score(st, final_k, cfg.image_h,
+                                       cfg.image_w)
+        else:
+            @jax.jit
+            def coarse_fn(geo_out, batch):
+                st = iter_model_state(geo_out, batch)
+                out = iter_model.apply(iter_vars, st, train=False,
+                                       with_loss=False)
+                st = dict(st, pc_i=out["pc_i"],
+                          matrix_accumulated=out["matrix_accumulated"])
+                st = run_tail_iters(st)
+                coarse = st["matrix_accumulated"]
+                return apply_coarse_pose(batch, coarse), coarse
 
     rte_all, rre_all, times = [], [], []
     c_rte_all, c_rre_all = [], []
+    # multi-hypothesis diagnostics (per sample): did candidate 0 solve /
+    # did the verification-selected candidate solve / did ANY candidate
+    # solve (the selection ceiling)
+    hypo_first, hypo_any, hypo_sel_oracle = [], [], []
+    multi = coarse_fn is not None and args.iter_hypotheses > 1
     for i, batch in enumerate(loader):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         t0 = time.perf_counter()
         geo_out = geo_forward(geo_vars["params"], geo_vars["batch_stats"],
                               batch)
-        if coarse_fn is not None:
-            batch, coarse = coarse_fn(geo_out, batch)
-            # coarse-stage-only residual, for observability
-            c_rte, c_rre = pose_diff(coarse, batch["P"] @ coarse)
+        if multi:
+            branches = coarse_fn(geo_out, batch)
+            cand_rte, cand_rre, cand_score = [], [], []
+            for batch_k, coarse_k in branches:
+                geo_out_k = geo_forward(fine_geo_vars["params"],
+                                        fine_geo_vars["batch_stats"],
+                                        batch_k)
+                final_k, rte_k, rre_k = episode(agent_state, geo_out_k,
+                                                batch_k)
+                cand_score.append(np.asarray(
+                    score_fn(geo_out_k, batch_k, final_k)))
+                cand_rte.append(np.asarray(rte_k))
+                cand_rre.append(np.asarray(rre_k))
+            scores = np.stack(cand_score, axis=1)          # [B, K]
+            rtes = np.stack(cand_rte, axis=1)
+            rres = np.stack(cand_rre, axis=1)
+            jax.block_until_ready(final_k)
+            sel = scores.argmax(axis=1)
+            rte = np.take_along_axis(rtes, sel[:, None], 1)[:, 0]
+            rre = np.take_along_axis(rres, sel[:, None], 1)[:, 0]
+            solved = (rtes < 5.0) & (rres < 10.0)          # RR thresholds
+            hypo_first += solved[:, 0].tolist()
+            hypo_any += solved.any(axis=1).tolist()
+            hypo_sel_oracle += np.take_along_axis(
+                solved, sel[:, None], 1)[:, 0].tolist()
+            # branches[0][0]["P"] is the rebased residual target P @ C^-1,
+            # so this is pose_diff(C, P) — same convention as the single path
+            c_rte, c_rre = pose_diff(branches[0][1],
+                                     branches[0][0]["P"] @ branches[0][1])
             c_rte_all += np.asarray(c_rte).tolist()
             c_rre_all += np.asarray(c_rre).tolist()
-            # re-perceive the near-aligned cloud (fine-stage geo)
-            geo_out = geo_forward(fine_geo_vars["params"],
-                                  fine_geo_vars["batch_stats"], batch)
-        final, rte, rre = episode(agent_state, geo_out, batch)
-        jax.block_until_ready(final)
+            final = final_k
+        else:
+            if coarse_fn is not None:
+                batch, coarse = coarse_fn(geo_out, batch)
+                # coarse-stage-only residual, for observability
+                c_rte, c_rre = pose_diff(coarse, batch["P"] @ coarse)
+                c_rte_all += np.asarray(c_rte).tolist()
+                c_rre_all += np.asarray(c_rre).tolist()
+                # re-perceive the near-aligned cloud (fine-stage geo)
+                geo_out = geo_forward(fine_geo_vars["params"],
+                                      fine_geo_vars["batch_stats"], batch)
+            final, rte, rre = episode(agent_state, geo_out, batch)
+            jax.block_until_ready(final)
         dt = time.perf_counter() - t0
         times.append(dt / batch["pc"].shape[0])
         rte_all += np.asarray(rte).tolist()
@@ -218,6 +317,11 @@ def main(argv=None):
     if c_rte_all:
         m["coarse_rte_mean"] = float(np.mean(c_rte_all))
         m["coarse_rre_mean"] = float(np.mean(c_rre_all))
+    if multi:
+        m["hypo_k"] = args.iter_hypotheses
+        m["rr_first_hypothesis"] = float(np.mean(hypo_first))
+        m["rr_selected"] = float(np.mean(hypo_sel_oracle))
+        m["rr_any_hypothesis"] = float(np.mean(hypo_any))
     # first batch includes compile; report steady-state timing too
     m["avg_episode_time_s"] = float(np.mean(times))
     m["avg_episode_time_steady_s"] = float(np.mean(times[1:]) if

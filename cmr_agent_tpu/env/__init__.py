@@ -4,6 +4,7 @@ from .environment import (  # noqa: F401
     init_poses,
     bearing_init_pose,
     apply_coarse_pose,
+    alignment_score,
     expert_action,
     apply_action,
     observation_from_pose,

@@ -103,6 +103,45 @@ def apply_coarse_pose(batch, coarse):
     return out
 
 
+def alignment_score(state, final_pose, image_h: int, image_w: int):
+    """Ground-truth-free verification score of a pose estimate, ``[B]``.
+
+    Projects the cloud under the (disentangled) estimate and scores how
+    well each in-frustum point's metric descriptor matches the image
+    descriptor at its projected pixel — the statistic the circle loss
+    trains (reference models/MultiHeadModel.py:141-178) evaluated at a
+    hypothesised pose. Both descriptor sets are L2-normalised, so the
+    per-point score is a cosine similarity; the returned score is the sum
+    of in-frustum similarities normalised by the cloud size, rewarding
+    both frustum coverage and descriptor agreement (a pose that points the
+    camera away from the scene scores ~0 regardless of how the few
+    remaining points match).
+
+    Used to select among multi-hypothesis pipeline candidates
+    (``test_agent --iter-hypotheses``). No reference equivalent: the
+    reference never verifies a pose estimate against the features.
+
+    ``state`` needs ``pc [B,N,3]``, ``K [B,3,3]``, ``pc_geo_feat [B,N,F]``
+    and ``img_geo_feat [B,H,W,F]``; ``final_pose [B,4,4]`` is in the
+    episode's disentangled convention (rotation about the cloud centroid).
+    """
+    pc = state["pc"].astype(jnp.float32)
+    R = final_pose[..., :3, :3].astype(jnp.float32)
+    t = final_pose[..., :3, 3].astype(jnp.float32)
+    aligned = transform_points_disentangled(pc, R, t)
+    proj = project_points(aligned, state["K"].astype(jnp.float32))
+    valid = frustum_mask(proj, image_w, image_h)
+    xi = jnp.clip(jnp.round(proj[..., 0]).astype(jnp.int32), 0, image_w - 1)
+    yi = jnp.clip(jnp.round(proj[..., 1]).astype(jnp.int32), 0, image_h - 1)
+    b, n = pc.shape[0], pc.shape[1]
+    f = state["pc_geo_feat"].shape[-1]
+    img = state["img_geo_feat"].astype(jnp.float32).reshape(
+        b, image_h * image_w, f)
+    img_f = jnp.take_along_axis(img, (yi * image_w + xi)[..., None], axis=1)
+    sim = jnp.sum(state["pc_geo_feat"].astype(jnp.float32) * img_f, axis=-1)
+    return jnp.sum(jnp.where(valid, sim, 0.0), axis=1) / n
+
+
 def compact_observation_state(state, k: int):
     """Pre-compact the rasterisation inputs to the top-``k`` overlap points.
 

@@ -26,7 +26,7 @@ from .fusion import IMGPCEncoder, IMGPCEnDecoder  # noqa: F401
 from .heads import OverlapDetectionHead, GeometricDistanceHead  # noqa: F401
 from .multi_head import MultiHeadModel  # noqa: F401
 from .agent import CMRAgent, action_from_logits, action_logprob_and_entropy  # noqa: F401
-from .cost_volume import IterModel  # noqa: F401
+from .cost_volume import IterModel, decode_topk_yaw_poses  # noqa: F401
 from .pointnet import (  # noqa: F401
     sample_and_group, sample_and_group_all,
     PointNetSetAbstraction, PointNetSetAbstractionMsg, PointNetFeaturePropagation,

@@ -66,6 +66,43 @@ def sample_pose_grid(r_amplitude, t_amplitude, nlabel: int):
     return se3_inverse(rt), delta_r, delta_t
 
 
+def decode_topk_yaw_poses(logits, r_amplitude, t_amplitude, nlabel: int,
+                          k: int):
+    """Top-``k`` yaw-candidate decode for multi-hypothesis composition.
+
+    The marginal-argmax decode (the forward pass below; reference
+    IterModel.py:443-456) commits to one yaw bin, and at full ±π amplitude
+    the first decode's yaw is the composition pipeline's bottleneck
+    (docs/CONVERGENCE.md §16). This decode instead returns the ``k`` most
+    probable *distinct* yaw bins — yaw diversity is what downstream
+    verification needs — each paired with its **conditional** translation
+    decode (argmax of p(tx|ry) / p(tz|ry) from the joint 729-way
+    posterior), as candidate per-step poses ``[B, k, 4, 4]`` in the same
+    ``se3_inverse(make_se3(...))`` convention as ``matrix_i``.
+
+    Candidate 0 is the yaw-marginal argmax, i.e. the standard decode up to
+    the conditional-vs-marginal translation choice. No reference
+    equivalent: the reference never revisits non-argmax hypotheses.
+    """
+    b = logits.shape[0]
+    nl = nlabel
+    _, delta_r, delta_t = sample_pose_grid(r_amplitude, t_amplitude, nl)
+    pred = jax.nn.softmax(logits, axis=-1).reshape(b, nl, nl, nl)
+    p_ry = pred.sum(axis=(2, 3))                          # [B, nl]
+    _, ry_idx = jax.lax.top_k(p_ry, k)                    # [B, k]
+    cond = jnp.take_along_axis(pred, ry_idx[:, :, None, None],
+                               axis=1)                    # [B, k, nl, nl]
+    tx_idx = jnp.argmax(cond.sum(axis=3), axis=-1)        # [B, k]
+    tz_idx = jnp.argmax(cond.sum(axis=2), axis=-1)        # [B, k]
+    ry = jnp.take_along_axis(delta_r, ry_idx, axis=1)     # [B, k]
+    tx = jnp.take_along_axis(delta_t, tx_idx, axis=1)
+    tz = jnp.take_along_axis(delta_t, tz_idx, axis=1)
+    zero = jnp.zeros_like(ry)
+    eul = jnp.stack([zero, ry, zero], axis=-1)            # [B, k, 3]
+    t_vec = jnp.stack([tx, zero, tz], axis=-1)
+    return se3_inverse(make_se3(angle2matrix_sxyz(eul), t_vec))
+
+
 class IterModel(nn.Module):
     cfg: Config
     pose_chunk: int = 27   # CPU path: lax.map chunk bounding the working set

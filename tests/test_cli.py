@@ -80,6 +80,22 @@ def test_cli_coarse_to_fine_pipeline(tmp_path, monkeypatch):
     assert np.isfinite(m["coarse_rte_mean"])
     assert np.isfinite(m["coarse_rre_mean"])
 
+    # multi-hypothesis composition: top-3 yaw candidates, each refined and
+    # verification-selected (env.alignment_score)
+    m2 = test_agent.main(["--dataset", "synthetic", "--tiny",
+                          "--synthetic-length", "2", "--eval-batch-size", "2",
+                          "--max-batches", "1", "--unmasked-warp",
+                          "--iter-ckpt", iter_ckpts[0], "--iter-iters", "1",
+                          "--iter-hypotheses", "3",
+                          "--fine-geo-ckpt", geo_ckpts[0]])
+    assert m2["hypo_k"] == 3
+    # the ANY-candidate ceiling dominates both the first-candidate
+    # baseline and the verification-selected result, which must agree
+    # with the reported recall (selection IS the pipeline output)
+    assert m2["rr_any_hypothesis"] >= m2["rr_first_hypothesis"]
+    assert m2["rr_any_hypothesis"] >= m2["rr_selected"]
+    assert abs(m2["rr_selected"] - m2["registration_recall"]) < 1e-9
+
 
 def test_stop_file_checkpoints_and_exits(tmp_path, monkeypatch):
     """--stop-file must exit cleanly with a resumable checkpoint (killing

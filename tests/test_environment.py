@@ -350,6 +350,56 @@ def test_apply_coarse_pose_rebases_problem():
                                np.asarray(P), atol=1e-4)
 
 
+def test_alignment_score_ranks_true_pose_first():
+    """The feature-alignment verification score is highest at the true
+    pose: image descriptors are planted at each point's true projection,
+    so any yaw error decorrelates point/pixel descriptors (or empties the
+    frustum) and the score must drop."""
+    from cmr_agent_tpu.env import alignment_score
+
+    rng = np.random.default_rng(7)
+    B, N, F = 2, 128, 8
+    h, w = CFG.image_h, CFG.image_w
+    # points strictly inside the frustum of a simple pinhole K
+    K = np.array([[float(w), 0, w / 2], [0, float(w), h / 2], [0, 0, 1]],
+                 np.float32)
+    x = rng.uniform(-0.45, 0.45, size=(B, N))
+    y = rng.uniform(-0.2, 0.2, size=(B, N))
+    z = rng.uniform(2.0, 6.0, size=(B, N))
+    pc = np.stack([x * z, y * z, z], axis=-1).astype(np.float32)
+
+    feat = rng.normal(size=(B, N, F)).astype(np.float32)
+    feat /= np.linalg.norm(feat, axis=-1, keepdims=True)
+    img_feat = rng.normal(size=(B, h, w, F)).astype(np.float32)
+    img_feat /= np.linalg.norm(img_feat, axis=-1, keepdims=True)
+    # plant each point's descriptor at its true pixel (identity pose)
+    proj = pc @ K.T
+    xi = np.clip(np.round(proj[..., 0] / proj[..., 2]), 0, w - 1).astype(int)
+    yi = np.clip(np.round(proj[..., 1] / proj[..., 2]), 0, h - 1).astype(int)
+    for b in range(B):
+        img_feat[b, yi[b], xi[b]] = feat[b]
+
+    state = {"pc": jnp.asarray(pc), "K": jnp.asarray(K)[None].repeat(B, 0),
+             "pc_geo_feat": jnp.asarray(feat),
+             "img_geo_feat": jnp.asarray(img_feat)}
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+    s_true = np.asarray(alignment_score(state, eye, h, w))
+
+    def yaw_pose(angle):
+        R = Rotation.from_euler("y", angle).as_matrix().astype(np.float32)
+        return jnp.asarray(np.broadcast_to(
+            make_se3(R, np.zeros(3, np.float32)), (B, 4, 4)))
+
+    s_small = np.asarray(alignment_score(state, yaw_pose(0.3), h, w))
+    s_flip = np.asarray(alignment_score(state, yaw_pose(np.pi), h, w))
+    # true pose wins decisively per sample; a backwards pose scores ~0
+    # (random descriptor pairs are near-orthogonal, so the in-frustum
+    # remainder of the flipped cloud contributes only noise)
+    assert (s_true > s_small + 0.2).all(), (s_true, s_small)
+    assert (s_true > 0.5).all()
+    assert (np.abs(s_flip) < 0.15).all() and (s_true > s_flip + 0.3).all()
+
+
 def test_reward_improves_toward_target():
     rng = np.random.default_rng(3)
     B, N = 2, 100

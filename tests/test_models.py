@@ -202,6 +202,55 @@ def test_iter_model_forward(cfg):
     assert logits.std() > 0.0  # not a constant grid
 
 
+def test_decode_topk_yaw_poses(cfg):
+    """Top-K yaw decode: ordering, distinct yaw bins, conditional tx/tz."""
+    from cmr_agent_tpu.models import decode_topk_yaw_poses
+    from cmr_agent_tpu.models.cost_volume import sample_pose_grid
+    from cmr_agent_tpu.ops.geometry import (angle2matrix_sxyz, make_se3,
+                                            se3_inverse)
+
+    nl = cfg.nlabel
+    r_amp = jnp.array([np.pi], jnp.float32)
+    t_amp = jnp.array([10.0], jnp.float32)
+    _, delta_r, delta_t = sample_pose_grid(r_amp, t_amp, nl)
+    delta_r, delta_t = np.asarray(delta_r)[0], np.asarray(delta_t)[0]
+
+    # Non-separable posterior: yaw bin 2 (mass .5) pairs with (tx=1, tz=7);
+    # yaw bin 6 (mass .3) pairs with (tx=4, tz=0) — conditional decode must
+    # give each candidate ITS OWN translation, not the global marginal.
+    p = np.full((nl, nl, nl), 1e-6)
+    p[2, 1, 7] = 0.5
+    p[6, 4, 0] = 0.3
+    logits = jnp.array(np.log(p / p.sum()).reshape(1, -1), jnp.float32)
+
+    cands = np.asarray(decode_topk_yaw_poses(logits, r_amp, t_amp, nl, 3))
+    assert cands.shape == (1, 3, 4, 4)
+
+    def expected(ry_i, tx_i, tz_i):
+        eul = jnp.array([[0.0, delta_r[ry_i], 0.0]], jnp.float32)
+        t = jnp.array([[delta_t[tx_i], 0.0, delta_t[tz_i]]], jnp.float32)
+        return np.asarray(se3_inverse(make_se3(angle2matrix_sxyz(eul), t)))[0]
+
+    # candidate 0 = highest-mass yaw with ITS conditional translation
+    np.testing.assert_allclose(cands[0, 0], expected(2, 1, 7), atol=1e-5)
+    # candidate 1 = second yaw mode with a DIFFERENT conditional translation
+    np.testing.assert_allclose(cands[0, 1], expected(6, 4, 0), atol=1e-5)
+    # all candidates are rigid
+    for k in range(3):
+        R = cands[0, k, :3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+    # separable posterior: candidate 0 must equal the forward decode's
+    # matrix_i (conditional == marginal translation there)
+    pr = np.full(nl, 1e-3); pr[4] = 1.0
+    pt = np.full(nl, 1e-3); pt[0] = 1.0
+    pz = np.full(nl, 1e-3); pz[8] = 1.0
+    sep = np.einsum("i,j,k->ijk", pr, pt, pz)
+    sep_logits = jnp.array(np.log(sep / sep.sum()).reshape(1, -1))
+    c0 = np.asarray(decode_topk_yaw_poses(sep_logits, r_amp, t_amp, nl, 1))
+    np.testing.assert_allclose(c0[0, 0], expected(4, 0, 8), atol=1e-5)
+
+
 def test_pointnet_capability_surface(cfg):
     rng = np.random.default_rng(3)
     xyz = jnp.array(rng.normal(size=(2, 128, 3)), jnp.float32)

@@ -64,6 +64,14 @@ def main(argv=None):
                         "verification recovers the scenes where the true "
                         "yaw bin is ranked 2nd..Nth. Costs N fine stages. "
                         "1 = single-hypothesis (reference-style decode)")
+    p.add_argument("--hypo-score", default="sum_norm",
+                   choices=["sum_norm", "mean_valid", "frac_valid",
+                            "above50_norm", "above70_norm"],
+                   help="which env.alignment_stats statistic selects "
+                        "among --iter-hypotheses candidates (all "
+                        "statistics are computed and reported; with "
+                        "--save-mat the full per-candidate matrices are "
+                        "dumped for offline selector study)")
     p.add_argument("--iter-shrink", type=float, default=1.0,
                    help="amplitude schedule across cost-volume iterations: "
                         "iteration i>0 scales R/T_amplitude by this factor "
@@ -229,14 +237,14 @@ def main(argv=None):
                                      coarse))
                 return branches
 
-            from ..env import alignment_score
+            from ..env import alignment_stats
 
             @jax.jit
             def score_fn(geo_out_k, batch_k, final_k):
                 st = {"pc": geo_out_k["pc"], "K": batch_k["K"],
                       "pc_geo_feat": geo_out_k["pc_geo_feat"],
                       "img_geo_feat": geo_out_k["img_geo_feat"]}
-                return alignment_score(st, final_k, cfg.image_h,
+                return alignment_stats(st, final_k, cfg.image_h,
                                        cfg.image_w)
         else:
             @jax.jit
@@ -256,6 +264,7 @@ def main(argv=None):
     # did the verification-selected candidate solve / did ANY candidate
     # solve (the selection ceiling)
     hypo_first, hypo_any, hypo_sel_oracle = [], [], []
+    hypo_stat_mats, hypo_rte_mats, hypo_rre_mats = {}, [], []
     multi = coarse_fn is not None and args.iter_hypotheses > 1
     for i, batch in enumerate(loader):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -264,22 +273,30 @@ def main(argv=None):
                               batch)
         if multi:
             branches = coarse_fn(geo_out, batch)
-            cand_rte, cand_rre, cand_score = [], [], []
+            cand_rte, cand_rre, cand_stats = [], [], []
             for batch_k, coarse_k in branches:
                 geo_out_k = geo_forward(fine_geo_vars["params"],
                                         fine_geo_vars["batch_stats"],
                                         batch_k)
                 final_k, rte_k, rre_k = episode(agent_state, geo_out_k,
                                                 batch_k)
-                cand_score.append(np.asarray(
-                    score_fn(geo_out_k, batch_k, final_k)))
+                cand_stats.append({k_: np.asarray(v_) for k_, v_ in
+                                   score_fn(geo_out_k, batch_k,
+                                            final_k).items()})
                 cand_rte.append(np.asarray(rte_k))
                 cand_rre.append(np.asarray(rre_k))
-            scores = np.stack(cand_score, axis=1)          # [B, K]
+            # [B, K] matrices, one per verification statistic
+            stats_mat = {k_: np.stack([c[k_] for c in cand_stats], axis=1)
+                         for k_ in cand_stats[0]}
+            scores = stats_mat[args.hypo_score]
             rtes = np.stack(cand_rte, axis=1)
             rres = np.stack(cand_rre, axis=1)
             jax.block_until_ready(final_k)
             sel = scores.argmax(axis=1)
+            for k_, v_ in stats_mat.items():
+                hypo_stat_mats.setdefault(k_, []).append(v_)
+            hypo_rte_mats.append(rtes)
+            hypo_rre_mats.append(rres)
             rte = np.take_along_axis(rtes, sel[:, None], 1)[:, 0]
             rre = np.take_along_axis(rres, sel[:, None], 1)[:, 0]
             solved = (rtes < 5.0) & (rres < 10.0)          # RR thresholds
@@ -319,9 +336,19 @@ def main(argv=None):
         m["coarse_rre_mean"] = float(np.mean(c_rre_all))
     if multi:
         m["hypo_k"] = args.iter_hypotheses
+        m["hypo_score"] = args.hypo_score
         m["rr_first_hypothesis"] = float(np.mean(hypo_first))
         m["rr_selected"] = float(np.mean(hypo_sel_oracle))
         m["rr_any_hypothesis"] = float(np.mean(hypo_any))
+        # what-if selection RR under every verification statistic, so a
+        # single run compares selectors offline
+        rtes_all = np.concatenate(hypo_rte_mats, axis=0)    # [S, K]
+        rres_all = np.concatenate(hypo_rre_mats, axis=0)
+        solved_all = (rtes_all < 5.0) & (rres_all < 10.0)
+        for k_, mats in hypo_stat_mats.items():
+            s_ = np.concatenate(mats, axis=0).argmax(axis=1)
+            m[f"rr_sel_{k_}"] = float(np.mean(
+                np.take_along_axis(solved_all, s_[:, None], 1)[:, 0]))
     # first batch includes compile; report steady-state timing too
     m["avg_episode_time_s"] = float(np.mean(times))
     m["avg_episode_time_steady_s"] = float(np.mean(times[1:]) if
@@ -329,9 +356,14 @@ def main(argv=None):
     m["num_samples"] = len(rte_all)
     if args.save_mat:
         import scipy.io as scio
-        scio.savemat(args.save_mat, {"Time": np.array(times),
-                                     "RTE": np.array(rte_all),
-                                     "RRE": np.array(rre_all)})
+        dump = {"Time": np.array(times), "RTE": np.array(rte_all),
+                "RRE": np.array(rre_all)}
+        if multi:
+            dump["hypo_RTE"] = np.concatenate(hypo_rte_mats, axis=0)
+            dump["hypo_RRE"] = np.concatenate(hypo_rre_mats, axis=0)
+            for k_, mats in hypo_stat_mats.items():
+                dump[f"hypo_{k_}"] = np.concatenate(mats, axis=0)
+        scio.savemat(args.save_mat, dump)
     print(json.dumps(m, indent=2))
     return m
 

@@ -5,6 +5,7 @@ from .environment import (  # noqa: F401
     bearing_init_pose,
     apply_coarse_pose,
     alignment_score,
+    alignment_stats,
     expert_action,
     apply_action,
     observation_from_pose,

@@ -125,6 +125,25 @@ def alignment_score(state, final_pose, image_h: int, image_w: int):
     and ``img_geo_feat [B,H,W,F]``; ``final_pose [B,4,4]`` is in the
     episode's disentangled convention (rotation about the cloud centroid).
     """
+    return alignment_stats(state, final_pose, image_h, image_w)["sum_norm"]
+
+
+def alignment_stats(state, final_pose, image_h: int, image_w: int):
+    """Per-sample ``[B]`` feature-alignment statistics of a pose estimate.
+
+    The same projection + descriptor lookup as :func:`alignment_score`,
+    returning a dict of candidate verification statistics so the
+    multi-hypothesis selector (``test_agent --iter-hypotheses``) can be
+    studied/configured without recomputing the projection:
+
+    - ``sum_norm``: Σ valid cosine sims / N (the :func:`alignment_score`
+      value — rewards coverage × agreement)
+    - ``mean_valid``: Σ valid sims / max(1, #valid) (pure agreement)
+    - ``frac_valid``: #valid / N (pure coverage)
+    - ``above50_norm`` / ``above70_norm``: #(valid ∧ sim > τ) / N for
+      τ = 0.5 / 0.7 — sharp inlier counts; a wrong-basin pose can
+      accumulate many weakly-positive sims, but few *strong* matches
+    """
     pc = state["pc"].astype(jnp.float32)
     R = final_pose[..., :3, :3].astype(jnp.float32)
     t = final_pose[..., :3, 3].astype(jnp.float32)
@@ -139,7 +158,16 @@ def alignment_score(state, final_pose, image_h: int, image_w: int):
         b, image_h * image_w, f)
     img_f = jnp.take_along_axis(img, (yi * image_w + xi)[..., None], axis=1)
     sim = jnp.sum(state["pc_geo_feat"].astype(jnp.float32) * img_f, axis=-1)
-    return jnp.sum(jnp.where(valid, sim, 0.0), axis=1) / n
+    sim_v = jnp.where(valid, sim, 0.0)
+    n_valid = jnp.sum(valid, axis=1)
+    return {
+        "sum_norm": jnp.sum(sim_v, axis=1) / n,
+        "mean_valid": (jnp.sum(sim_v, axis=1)
+                       / jnp.maximum(n_valid, 1).astype(jnp.float32)),
+        "frac_valid": n_valid.astype(jnp.float32) / n,
+        "above50_norm": jnp.sum(valid & (sim > 0.5), axis=1) / n,
+        "above70_norm": jnp.sum(valid & (sim > 0.7), axis=1) / n,
+    }
 
 
 def compact_observation_state(state, k: int):

@@ -399,6 +399,24 @@ def test_alignment_score_ranks_true_pose_first():
     assert (s_true > 0.5).all()
     assert (np.abs(s_flip) < 0.15).all() and (s_true > s_flip + 0.3).all()
 
+    # alignment_stats: the score is its sum_norm entry, and the other
+    # statistics are internally consistent at the true pose (all points
+    # in-frustum; planted descriptors give strong >0.7 inliers that the
+    # flipped pose cannot)
+    from cmr_agent_tpu.env import alignment_stats
+
+    st = {k: np.asarray(v)
+          for k, v in alignment_stats(state, eye, h, w).items()}
+    stf = {k: np.asarray(v)
+           for k, v in alignment_stats(state, yaw_pose(np.pi), h, w).items()}
+    assert np.allclose(st["sum_norm"], s_true)
+    assert (st["frac_valid"] > 0.99).all()
+    assert np.allclose(st["mean_valid"] * st["frac_valid"], st["sum_norm"],
+                       atol=1e-5)
+    assert (st["above50_norm"] >= st["above70_norm"]).all()
+    assert (st["above50_norm"] > stf["above50_norm"] + 0.2).all()
+    assert (st["above70_norm"] > stf["above70_norm"] + 0.2).all()
+
 
 def test_reward_improves_toward_target():
     rng = np.random.default_rng(3)

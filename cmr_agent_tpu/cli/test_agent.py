@@ -64,9 +64,9 @@ def main(argv=None):
                         "verification recovers the scenes where the true "
                         "yaw bin is ranked 2nd..Nth. Costs N fine stages. "
                         "1 = single-hypothesis (reference-style decode)")
-    p.add_argument("--hypo-score", default="sum_norm",
-                   choices=["sum_norm", "mean_valid", "frac_valid",
-                            "above50_norm", "above70_norm"],
+    p.add_argument("--hypo-score", default="smooth_mean",
+                   choices=["smooth_mean", "sum_norm", "mean_valid",
+                            "frac_valid", "above50_norm", "above70_norm"],
                    help="which env.alignment_stats statistic selects "
                         "among --iter-hypotheses candidates (all "
                         "statistics are computed and reported; with "

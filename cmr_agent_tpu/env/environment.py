@@ -143,6 +143,15 @@ def alignment_stats(state, final_pose, image_h: int, image_w: int):
     - ``above50_norm`` / ``above70_norm``: #(valid ∧ sim > τ) / N for
       τ = 0.5 / 0.7 — sharp inlier counts; a wrong-basin pose can
       accumulate many weakly-positive sims, but few *strong* matches
+    - ``smooth_mean``: Σ valid sims / (#valid + 0.1·N) — the valid-mean
+      shrunk toward 0 by a pseudo-count of 10% of the cloud, so
+      low-coverage candidates cannot win on a handful of lucky matches
+      (the failure mode of ``mean_valid``) while high-coverage ones are
+      scored by agreement, not raw coverage (the failure mode of
+      ``sum_norm``). Selector study at ±10 m/±π (32 held-out scenes,
+      K=5/9 candidates): selects 87.5%/90.6% vs ceilings 93.8%/96.9%,
+      where sum_norm gets 59%/62% and mean_valid 78%/62%; the
+      pseudo-count plateau spans c ∈ [0.025·N, 0.1·N]
     """
     pc = state["pc"].astype(jnp.float32)
     R = final_pose[..., :3, :3].astype(jnp.float32)
@@ -160,10 +169,11 @@ def alignment_stats(state, final_pose, image_h: int, image_w: int):
     sim = jnp.sum(state["pc_geo_feat"].astype(jnp.float32) * img_f, axis=-1)
     sim_v = jnp.where(valid, sim, 0.0)
     n_valid = jnp.sum(valid, axis=1)
+    sim_sum = jnp.sum(sim_v, axis=1)
     return {
-        "sum_norm": jnp.sum(sim_v, axis=1) / n,
-        "mean_valid": (jnp.sum(sim_v, axis=1)
-                       / jnp.maximum(n_valid, 1).astype(jnp.float32)),
+        "sum_norm": sim_sum / n,
+        "mean_valid": sim_sum / jnp.maximum(n_valid, 1).astype(jnp.float32),
+        "smooth_mean": sim_sum / (n_valid.astype(jnp.float32) + 0.1 * n),
         "frac_valid": n_valid.astype(jnp.float32) / n,
         "above50_norm": jnp.sum(valid & (sim > 0.5), axis=1) / n,
         "above70_norm": jnp.sum(valid & (sim > 0.7), axis=1) / n,

@@ -97,11 +97,11 @@ def test_cli_coarse_to_fine_pipeline(tmp_path, monkeypatch):
     assert abs(m2["rr_selected"] - m2["registration_recall"]) < 1e-9
     # every alignment_stats selector is reported as a what-if, and the
     # configured one (default sum_norm) is the pipeline output
-    for k in ("sum_norm", "mean_valid", "frac_valid", "above50_norm",
-              "above70_norm"):
+    for k in ("smooth_mean", "sum_norm", "mean_valid", "frac_valid",
+              "above50_norm", "above70_norm"):
         assert f"rr_sel_{k}" in m2
         assert m2[f"rr_sel_{k}"] <= m2["rr_any_hypothesis"] + 1e-9
-    assert abs(m2["rr_sel_sum_norm"] - m2["rr_selected"]) < 1e-9
+    assert abs(m2["rr_sel_smooth_mean"] - m2["rr_selected"]) < 1e-9
 
 
 def test_stop_file_checkpoints_and_exits(tmp_path, monkeypatch):

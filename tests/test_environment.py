@@ -413,6 +413,8 @@ def test_alignment_score_ranks_true_pose_first():
     assert (st["frac_valid"] > 0.99).all()
     assert np.allclose(st["mean_valid"] * st["frac_valid"], st["sum_norm"],
                        atol=1e-5)
+    assert np.allclose(st["smooth_mean"],
+                       st["sum_norm"] / (st["frac_valid"] + 0.1), atol=1e-5)
     assert (st["above50_norm"] >= st["above70_norm"]).all()
     assert (st["above50_norm"] > stf["above50_norm"] + 0.2).all()
     assert (st["above70_norm"] > stf["above70_norm"] + 0.2).all()

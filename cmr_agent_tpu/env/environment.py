@@ -98,8 +98,11 @@ def apply_coarse_pose(batch, coarse):
     out["pc"] = xform(batch["pc"])
     if "node" in batch:
         out["node"] = xform(batch["node"])
-    out["P"] = (batch["P"].astype(jnp.float32)
-                @ se3_inverse(coarse.astype(jnp.float32)))
+    if "P" in batch:
+        # serving clients have no ground-truth target; the residual
+        # rebase only applies when one is present (train/eval)
+        out["P"] = (batch["P"].astype(jnp.float32)
+                    @ se3_inverse(coarse.astype(jnp.float32)))
     return out
 
 

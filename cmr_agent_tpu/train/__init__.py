@@ -17,5 +17,6 @@ from .checkpoint import (  # noqa: F401
 )
 from .convert import convert_torch_multihead, convert_torch_agent  # noqa: F401
 from .export import (  # noqa: F401
-    export_geo_forward, export_episode, load_exported,
+    export_geo_forward, export_episode, export_composed_pipeline,
+    load_exported,
 )

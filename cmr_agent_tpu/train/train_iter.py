@@ -28,7 +28,7 @@ def iter_model_state(geo_out, batch) -> Dict:
     (Test_Geo.py:78-79, models/IterModel.py:250-303); here the mapping is
     explicit and shared by the training and eval CLIs.
     """
-    return {
+    state = {
         "pc_i": geo_out["pc"],
         "K": batch["K"],
         "pc_geo_feat": geo_out["pc_geo_feat"],
@@ -40,10 +40,14 @@ def iter_model_state(geo_out, batch) -> Dict:
         "matrix_accumulated": geo_out["matrix_accumulated"],
         "R_amplitude": batch["R_amplitude"],
         "T_amplitude": batch["T_amplitude"],
-        "label_R": batch["label_R"],
-        "label_T_x": batch["label_T_x"],
-        "label_T_z": batch["label_T_z"],
     }
+    # ground-truth decode labels exist in train/eval batches but not in a
+    # serving client's input; the model's loss branch already guards on
+    # their presence (cost_volume.py `with_loss and "label_R" in state`)
+    for k in ("label_R", "label_T_x", "label_T_z"):
+        if k in batch:
+            state[k] = batch[k]
+    return state
 
 
 class IterTrainState(struct.PyTreeNode):

@@ -115,3 +115,54 @@ def test_episode_export_honours_bearing_init(tmp_path):
         lambda avars, o2, o3: agent.apply(avars, o2, o3, train=False),
         av, state, pose_src, None, cfg, deterministic=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_composed_pipeline_export_roundtrip(tmp_path):
+    """The flagship coarse->K-hypothesis-fine->verify pipeline
+    (CONVERGENCE.md §16 stage 4) serialises as ONE program whose inputs
+    are inference-only (no ground truth) and whose selected pose is a
+    rigid SE(3) consistent with its candidate scores."""
+    from cmr_agent_tpu.models import IterModel
+    from cmr_agent_tpu.train.train_iter import iter_model_state
+    from cmr_agent_tpu.train.export import export_composed_pipeline
+
+    model, gv, batch = _setup()
+    geo_out = model.apply(gv, batch, train=False, with_loss=False)
+    st = iter_model_state(geo_out, batch)
+    iterm = IterModel(CFG)
+    iv = jax.jit(lambda r, s: iterm.init({"params": r}, s, train=False,
+                                         with_loss=False))(
+        jax.random.key(1), st)
+    agent = CMRAgent(CFG)
+    h, w, f = CFG.image_h, CFG.image_w, CFG.embed_dim
+    b = batch["pc"].shape[0]
+    av = jax.jit(lambda r, o2, o3: agent.init({"params": r}, o2, o3,
+                                              train=False))(
+        jax.random.key(2), jnp.zeros((b, h, w, 2 * f)),
+        jnp.zeros((b, CFG.num_pt, CFG.obs3d_channels)))
+
+    path = str(tmp_path / "pipeline.stablehlo")
+    export_composed_pipeline(CFG, gv, iv, av, batch, hypotheses=2,
+                             iter_iters=2, iter_shrink=0.25, path=path)
+
+    inp = {k: np.asarray(batch[k]) for k in
+           ("img", "pc", "node", "pt2node", "K",
+            "R_amplitude", "T_amplitude")}
+    got = load_exported(path).call(inp)
+    pose = np.asarray(got["pose"])
+    scores = np.asarray(got["candidate_scores"])
+    assert pose.shape == (b, 4, 4) and scores.shape == (b, 2)
+    assert np.isfinite(pose).all() and np.isfinite(scores).all()
+    # the selected score is the max over candidates
+    np.testing.assert_allclose(np.asarray(got["score"]), scores.max(1),
+                               atol=1e-6)
+    # the absolute pose is rigid: orthonormal rotation, unit determinant,
+    # affine bottom row
+    R = pose[:, :3, :3]
+    np.testing.assert_allclose(R @ R.transpose(0, 2, 1),
+                               np.broadcast_to(np.eye(3, dtype=np.float32),
+                                               (b, 3, 3)), atol=1e-3)
+    np.testing.assert_allclose(np.linalg.det(R), np.ones(b), atol=1e-3)
+    np.testing.assert_allclose(pose[:, 3], np.broadcast_to(
+        np.array([0, 0, 0, 1], np.float32), (b, 4)), atol=1e-6)

@@ -83,6 +83,15 @@ def test_disentangled_equivalence():
         jnp.array(pc), pose_d[:, :3, :3], pose_d[:, :3, 3]))
     np.testing.assert_allclose(disent, plain, atol=1e-4)
 
+    # ...and the inverse (entangle): t_abs = t + mu - R mu turns a
+    # disentangled (R, t) into the equivalent plain SE(3) — the math
+    # export_composed_pipeline uses to return an absolute pose
+    mu = pc.mean(axis=1)
+    t_d = np.asarray(pose_d[:, :3, 3])
+    t_abs = t_d + mu - np.einsum("bij,bj->bi", R, mu)
+    plain_back = np.einsum("bij,bnj->bni", R, pc) + t_abs[:, None, :]
+    np.testing.assert_allclose(plain_back, disent, atol=1e-4)
+
 
 def test_projection_and_frustum():
     K = jnp.array([[[100.0, 0, 32], [0, 100.0, 16], [0, 0, 1]]])

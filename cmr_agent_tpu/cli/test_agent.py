@@ -66,12 +66,16 @@ def main(argv=None):
                         "1 = single-hypothesis (reference-style decode)")
     p.add_argument("--hypo-score", default="smooth_mean",
                    choices=["smooth_mean", "sum_norm", "mean_valid",
-                            "frac_valid", "above50_norm", "above70_norm"],
-                   help="which env.alignment_stats statistic selects "
-                        "among --iter-hypotheses candidates (all "
-                        "statistics are computed and reported; with "
-                        "--save-mat the full per-candidate matrices are "
-                        "dumped for offline selector study)")
+                            "frac_valid", "above50_norm", "above70_norm",
+                            "ir_smooth", "ir_mean", "ir_norm"],
+                   help="which verification statistic selects among "
+                        "--iter-hypotheses candidates: the "
+                        "env.alignment_stats cosine family plus the "
+                        "env.nn_alignment_stats spatial-consistency "
+                        "(matching-IR-at-pose) family (all statistics "
+                        "are computed and reported; with --save-mat the "
+                        "full per-candidate matrices are dumped for "
+                        "offline selector study)")
     p.add_argument("--iter-shrink", type=float, default=1.0,
                    help="amplitude schedule across cost-volume iterations: "
                         "iteration i>0 scales R/T_amplitude by this factor "
@@ -237,15 +241,18 @@ def main(argv=None):
                                      coarse))
                 return branches
 
-            from ..env import alignment_stats
+            from ..env import alignment_stats, nn_alignment_stats
 
             @jax.jit
             def score_fn(geo_out_k, batch_k, final_k):
                 st = {"pc": geo_out_k["pc"], "K": batch_k["K"],
                       "pc_geo_feat": geo_out_k["pc_geo_feat"],
                       "img_geo_feat": geo_out_k["img_geo_feat"]}
-                return alignment_stats(st, final_k, cfg.image_h,
-                                       cfg.image_w)
+                stats = alignment_stats(st, final_k, cfg.image_h,
+                                        cfg.image_w)
+                stats.update(nn_alignment_stats(st, final_k, cfg.image_h,
+                                                cfg.image_w))
+                return stats
         else:
             @jax.jit
             def coarse_fn(geo_out, batch):

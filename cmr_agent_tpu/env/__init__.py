@@ -6,6 +6,7 @@ from .environment import (  # noqa: F401
     apply_coarse_pose,
     alignment_score,
     alignment_stats,
+    nn_alignment_stats,
     expert_action,
     apply_action,
     observation_from_pose,

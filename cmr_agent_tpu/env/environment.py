@@ -183,6 +183,70 @@ def alignment_stats(state, final_pose, image_h: int, image_w: int):
     }
 
 
+def nn_alignment_stats(state, final_pose, image_h: int, image_w: int,
+                       radius_px: float = 3.0, chunk: int = 2048):
+    """Spatial-consistency (matching-IR) verification statistics, ``[B]``.
+
+    :func:`alignment_stats` scores the LOCAL descriptor agreement at each
+    point's projected pixel — a wrong-basin pose can still accumulate many
+    weakly-positive cosines (the residual failure mode of ``smooth_mean``
+    at ±π: 6/64 held-out scenes pick a wrong basin whose weak matches
+    out-sum the true pose's sparser strong ones, docs/CONVERGENCE.md §16).
+    This statistic is the Test_Geo matching test (reference
+    Test_Geo.py:109-119) evaluated at a hypothesised pose: each point's
+    feature-NN pixel over the WHOLE image must land within ``radius_px``
+    of where the pose projects it. The NN search ignores the pose, so a
+    wrong-basin candidate cannot manufacture inliers — its points' NN
+    pixels sit wherever the descriptors genuinely match, not where the
+    bad pose projects them. One ``[N, H·W]`` cosine matmul per candidate,
+    chunked over points (``lax.map``) to bound the similarity matrix at
+    ``chunk × H·W``.
+
+    Returns a dict of ``[B]`` statistics (same naming scheme as
+    :func:`alignment_stats`):
+
+    - ``ir_norm``:   #(in-frustum ∧ NN within radius) / N
+    - ``ir_mean``:   inliers / max(1, #in-frustum)
+    - ``ir_smooth``: inliers / (#in-frustum + 0.1·N) — the shrunk mean
+    """
+    pc = state["pc"].astype(jnp.float32)
+    R = final_pose[..., :3, :3].astype(jnp.float32)
+    t = final_pose[..., :3, 3].astype(jnp.float32)
+    aligned = transform_points_disentangled(pc, R, t)
+    proj = project_points(aligned, state["K"].astype(jnp.float32))
+    valid = frustum_mask(proj, image_w, image_h)
+    b, n = pc.shape[0], pc.shape[1]
+    f = state["pc_geo_feat"].shape[-1]
+    img = state["img_geo_feat"].astype(jnp.float32).reshape(
+        b, image_h * image_w, f)
+    feats = state["pc_geo_feat"].astype(jnp.float32)
+    pad = (-n) % chunk
+    if pad:
+        feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
+    nchunks = feats.shape[1] // chunk
+    feats_c = jnp.transpose(feats.reshape(b, nchunks, chunk, f),
+                            (1, 0, 2, 3))
+
+    def nn_chunk(fc):                                     # [B, chunk, F]
+        sims = jnp.einsum("bcf,bpf->bcp", fc, img)
+        return jnp.argmax(sims, axis=-1).astype(jnp.int32)
+
+    nn_idx = jax.lax.map(nn_chunk, feats_c)               # [nc, B, chunk]
+    nn_idx = jnp.transpose(nn_idx, (1, 0, 2)).reshape(
+        b, nchunks * chunk)[:, :n]
+    nn_x = (nn_idx % image_w).astype(jnp.float32)
+    nn_y = (nn_idx // image_w).astype(jnp.float32)
+    d2 = ((nn_x - proj[..., 0]) ** 2 + (nn_y - proj[..., 1]) ** 2)
+    inlier = valid & (d2 <= radius_px * radius_px)
+    n_inl = inlier.sum(axis=1).astype(jnp.float32)
+    n_valid = valid.sum(axis=1).astype(jnp.float32)
+    return {
+        "ir_norm": n_inl / n,
+        "ir_mean": n_inl / jnp.maximum(n_valid, 1.0),
+        "ir_smooth": n_inl / (n_valid + 0.1 * n),
+    }
+
+
 def compact_observation_state(state, k: int):
     """Pre-compact the rasterisation inputs to the top-``k`` overlap points.
 

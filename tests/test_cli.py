@@ -98,7 +98,9 @@ def test_cli_coarse_to_fine_pipeline(tmp_path, monkeypatch):
     # every alignment_stats selector is reported as a what-if, and the
     # configured one (default sum_norm) is the pipeline output
     for k in ("smooth_mean", "sum_norm", "mean_valid", "frac_valid",
-              "above50_norm", "above70_norm"):
+              "above50_norm", "above70_norm",
+              # spatial-consistency (matching-IR-at-pose) family
+              "ir_smooth", "ir_mean", "ir_norm"):
         assert f"rr_sel_{k}" in m2
         assert m2[f"rr_sel_{k}"] <= m2["rr_any_hypothesis"] + 1e-9
     assert abs(m2["rr_sel_smooth_mean"] - m2["rr_selected"]) < 1e-9

@@ -420,6 +420,75 @@ def test_alignment_score_ranks_true_pose_first():
     assert (st["above70_norm"] > stf["above70_norm"] + 0.2).all()
 
 
+def test_nn_alignment_stats_spatial_consistency():
+    """The matching-IR-at-pose verifier: each point's feature-NN pixel
+    (pose-independent) must coincide with its projection under the
+    candidate pose. Descriptors are planted at unique true pixels, so at
+    the identity pose nearly every in-frustum point is an inlier, while a
+    yawed pose moves the projections far from the (unchanged) NN pixels
+    and the inlier statistics collapse — even though the local-cosine
+    statistics can stay mildly positive. Also checks the chunked NN
+    search is invariant to the chunk size (padding path)."""
+    from cmr_agent_tpu.env import alignment_stats, nn_alignment_stats
+
+    rng = np.random.default_rng(11)
+    B, N, F = 2, 96, 8
+    h, w = CFG.image_h, CFG.image_w
+    K = np.array([[float(w), 0, w / 2], [0, float(w), h / 2], [0, 0, 1]],
+                 np.float32)
+    # unique pixels per sample so planting never overwrites a descriptor
+    pix = np.stack([rng.choice(h * w, size=N, replace=False)
+                    for _ in range(B)])                       # [B, N]
+    xi, yi = (pix % w).astype(np.float32), (pix // w).astype(np.float32)
+    z = rng.uniform(2.0, 6.0, size=(B, N)).astype(np.float32)
+    pc = np.stack([(xi - w / 2) / w * z, (yi - h / 2) / w * z, z],
+                  axis=-1).astype(np.float32)
+
+    feat = rng.normal(size=(B, N, F)).astype(np.float32)
+    feat /= np.linalg.norm(feat, axis=-1, keepdims=True)
+    img_feat = rng.normal(size=(B, h, w, F)).astype(np.float32)
+    img_feat /= np.linalg.norm(img_feat, axis=-1, keepdims=True)
+    for b in range(B):
+        img_feat[b, yi[b].astype(int), xi[b].astype(int)] = feat[b]
+
+    state = {"pc": jnp.asarray(pc), "K": jnp.asarray(K)[None].repeat(B, 0),
+             "pc_geo_feat": jnp.asarray(feat),
+             "img_geo_feat": jnp.asarray(img_feat)}
+    eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+
+    st = {k: np.asarray(v)
+          for k, v in nn_alignment_stats(state, eye, h, w).items()}
+    # planted NN == projection: near-perfect inlier rate at the true pose
+    assert (st["ir_mean"] > 0.95).all(), st
+    assert (st["ir_norm"] > 0.9).all()
+    a = {k: np.asarray(v)
+         for k, v in alignment_stats(state, eye, h, w).items()}
+    # internal consistency with the frustum accounting of alignment_stats
+    frac = a["frac_valid"]
+    assert np.allclose(st["ir_mean"] * frac, st["ir_norm"], atol=1e-5)
+    assert np.allclose(st["ir_smooth"], st["ir_norm"] / (frac + 0.1),
+                       atol=1e-5)
+
+    def yaw_pose(angle):
+        R = Rotation.from_euler("y", angle).as_matrix().astype(np.float32)
+        return jnp.asarray(np.broadcast_to(
+            make_se3(R, np.zeros(3, np.float32)), (B, 4, 4)))
+
+    stw = {k: np.asarray(v)
+           for k, v in nn_alignment_stats(state, yaw_pose(0.4), h, w).items()}
+    # a 0.4 rad yaw moves projections ~0.4*w px >> the 3 px radius while
+    # the NN pixels don't move: the inlier statistics must collapse
+    assert (st["ir_mean"] > stw["ir_mean"] + 0.5).all(), (st, stw)
+    assert (st["ir_smooth"] > stw["ir_smooth"] + 0.3).all()
+
+    # chunking/padding invariance: N=96 forces the pad with chunk=64 and
+    # two chunks with chunk=48; results must be identical to the default
+    for c in (48, 64):
+        stc = nn_alignment_stats(state, eye, h, w, chunk=c)
+        for k in st:
+            assert np.allclose(np.asarray(stc[k]), st[k], atol=1e-6), k
+
+
 def test_reward_improves_toward_target():
     rng = np.random.default_rng(3)
     B, N = 2, 100

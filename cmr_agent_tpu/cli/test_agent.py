@@ -67,15 +67,39 @@ def main(argv=None):
     p.add_argument("--hypo-score", default="smooth_mean",
                    choices=["smooth_mean", "sum_norm", "mean_valid",
                             "frac_valid", "above50_norm", "above70_norm",
-                            "ir_smooth", "ir_mean", "ir_norm"],
+                            "ir_smooth", "ir_mean", "ir_norm", "combo"],
                    help="which verification statistic selects among "
                         "--iter-hypotheses candidates: the "
-                        "env.alignment_stats cosine family plus the "
+                        "env.alignment_stats cosine family, the "
                         "env.nn_alignment_stats spatial-consistency "
-                        "(matching-IR-at-pose) family (all statistics "
-                        "are computed and reported; with --save-mat the "
-                        "full per-candidate matrices are dumped for "
-                        "offline selector study)")
+                        "(matching-IR-at-pose) family, or 'combo' — "
+                        "z(smooth_mean) + 0.3 z(ir_smooth), z-scored "
+                        "across the candidates per sample (all "
+                        "statistics are computed and reported; with "
+                        "--save-mat the full per-candidate matrices are "
+                        "dumped for offline selector study)")
+    p.add_argument("--refine-rounds", type=int, default=0,
+                   help="after the (selected) fine stage, run this many "
+                        "verified refinement rounds: re-base the problem "
+                        "under the composed estimate "
+                        "(env.compose_disentangled + apply_coarse_pose), "
+                        "re-perceive with the fine geo model, run another "
+                        "agent episode, and ACCEPT the new estimate only "
+                        "where the verification statistic improves over "
+                        "the incumbent (scored in the same perception "
+                        "frame). Targets episodes that stall mid-basin "
+                        "(18-45 deg residual) — a fresh perception pass "
+                        "on the nearly-aligned cloud re-aims them. "
+                        "0 = off (reference behaviour: one episode)")
+    p.add_argument("--refine-iter", action="store_true",
+                   help="each refinement round first re-decodes the "
+                        "residual with the cost volume on a grid shrunk "
+                        "by --refine-shrink (requires --iter-ckpt)")
+    p.add_argument("--refine-shrink", type=float, default=0.25,
+                   help="amplitude factor for --refine-iter rounds: the "
+                        "residual after a full-amplitude decode is at "
+                        "most one bin = 2/(nlabel-1) of the amplitude, "
+                        "so 0.25 re-spans it with the full 9-bin grid")
     p.add_argument("--iter-shrink", type=float, default=1.0,
                    help="amplitude schedule across cost-volume iterations: "
                         "iteration i>0 scales R/T_amplitude by this factor "
@@ -172,6 +196,38 @@ def main(argv=None):
 
     episode = make_val_episode_fn(cfg)
 
+    if args.refine_iter and not args.iter_ckpt:
+        p.error("--refine-iter needs --iter-ckpt (the cost volume that "
+                "re-decodes the residual)")
+
+    score_fn = None
+    if args.iter_hypotheses > 1 or args.refine_rounds > 0:
+        from ..env import alignment_stats, nn_alignment_stats
+
+        @jax.jit
+        def score_fn(geo_out_k, batch_k, final_k):
+            st = {"pc": geo_out_k["pc"], "K": batch_k["K"],
+                  "pc_geo_feat": geo_out_k["pc_geo_feat"],
+                  "img_geo_feat": geo_out_k["img_geo_feat"]}
+            stats = alignment_stats(st, final_k, cfg.image_h,
+                                    cfg.image_w)
+            stats.update(nn_alignment_stats(st, final_k, cfg.image_h,
+                                            cfg.image_w))
+            return stats
+
+        def add_combo(stats_mat):
+            """'combo' = z(smooth_mean) + 0.3 z(ir_smooth), z-scored across
+            the candidate axis per sample. The cosine statistic carries the
+            selection; the spatial-consistency statistic tie-breaks
+            wrong-basin candidates whose weak matches out-sum the true
+            pose's sparser strong ones (selector study, CONVERGENCE §16)."""
+            def z(a):
+                return ((a - a.mean(axis=1, keepdims=True))
+                        / (a.std(axis=1, keepdims=True) + 1e-9))
+            stats_mat["combo"] = (z(stats_mat["smooth_mean"])
+                                  + 0.3 * z(stats_mat["ir_smooth"]))
+            return stats_mat
+
     coarse_fn = None
     if args.iter_ckpt:
         from ..models import IterModel
@@ -240,19 +296,6 @@ def main(argv=None):
                     branches.append((apply_coarse_pose(batch, coarse),
                                      coarse))
                 return branches
-
-            from ..env import alignment_stats, nn_alignment_stats
-
-            @jax.jit
-            def score_fn(geo_out_k, batch_k, final_k):
-                st = {"pc": geo_out_k["pc"], "K": batch_k["K"],
-                      "pc_geo_feat": geo_out_k["pc_geo_feat"],
-                      "img_geo_feat": geo_out_k["img_geo_feat"]}
-                stats = alignment_stats(st, final_k, cfg.image_h,
-                                        cfg.image_w)
-                stats.update(nn_alignment_stats(st, final_k, cfg.image_h,
-                                                cfg.image_w))
-                return stats
         else:
             @jax.jit
             def coarse_fn(geo_out, batch):
@@ -265,7 +308,71 @@ def main(argv=None):
                 coarse = st["matrix_accumulated"]
                 return apply_coarse_pose(batch, coarse), coarse
 
+    refine_fn = None
+    if args.refine_rounds > 0:
+        from ..env import apply_coarse_pose as _rebase
+        from ..env import compose_disentangled
+        from ..ops import to_disentangled as _to_dis
+        from ..ops.geometry import se3_inverse
+
+        def refine_fn(batch0, total, rte_cur, rre_cur):
+            """Verified refinement rounds on the composed estimate.
+
+            Each round re-bases the ORIGINAL batch under the current
+            estimate, optionally re-decodes the residual with a shrunk
+            cost-volume grid (--refine-iter), re-perceives with the fine
+            geo model and runs another agent episode. The new estimate is
+            accepted PER SAMPLE only where the --hypo-score verification
+            statistic beats the incumbent, both scored in the round's own
+            perception frame (the incumbent appears there as the inverse
+            of the round's coarse step — identity when --refine-iter is
+            off). Rejected samples keep their previous pose and metrics,
+            so a round can only help under the verifier's judgement.
+            """
+            b = batch0["pc"].shape[0]
+            eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                   (b, 4, 4))
+            for _ in range(args.refine_rounds):
+                if args.refine_iter:
+                    batch_c = _rebase(batch0, total)
+                    geo_c = geo_forward(geo_vars["params"],
+                                        geo_vars["batch_stats"], batch_c)
+                    st = iter_model_state(geo_c, batch_c)
+                    st = dict(st,
+                              R_amplitude=st["R_amplitude"]
+                              * args.refine_shrink,
+                              T_amplitude=st["T_amplitude"]
+                              * args.refine_shrink)
+                    out = iter_model.apply(iter_vars, st, train=False,
+                                           with_loss=False)
+                    coarse_r = out["matrix_accumulated"]
+                    total_base = coarse_r @ total
+                else:
+                    coarse_r = eye
+                    total_base = total
+                batch_r = _rebase(batch0, total_base)
+                geo_r = geo_forward(fine_geo_vars["params"],
+                                    fine_geo_vars["batch_stats"], batch_r)
+                final_r, rte_r, rre_r = episode(agent_state, geo_r,
+                                                batch_r)
+                s_cand = score_fn(geo_r, batch_r, final_r)
+                inc = _to_dis(se3_inverse(coarse_r), batch_r["pc"])
+                s_inc = score_fn(geo_r, batch_r, inc)
+                pair = {k_: np.stack([np.asarray(s_cand[k_]),
+                                      np.asarray(s_inc[k_])], axis=1)
+                        for k_ in s_cand}
+                add_combo(pair)
+                accept = pair[args.hypo_score].argmax(axis=1) == 0
+                total_cand = compose_disentangled(final_r, total_base,
+                                                  batch0["pc"])
+                total = jnp.where(jnp.asarray(accept)[:, None, None],
+                                  total_cand, total)
+                rte_cur = np.where(accept, np.asarray(rte_r), rte_cur)
+                rre_cur = np.where(accept, np.asarray(rre_r), rre_cur)
+            return total, rte_cur, rre_cur
+
     rte_all, rre_all, times = [], [], []
+    pre_rte_all, pre_rre_all = [], []
     c_rte_all, c_rre_all = [], []
     # multi-hypothesis diagnostics (per sample): did candidate 0 solve /
     # did the verification-selected candidate solve / did ANY candidate
@@ -281,6 +388,7 @@ def main(argv=None):
         if multi:
             branches = coarse_fn(geo_out, batch)
             cand_rte, cand_rre, cand_stats = [], [], []
+            cand_coarse, cand_final = [], []
             for batch_k, coarse_k in branches:
                 geo_out_k = geo_forward(fine_geo_vars["params"],
                                         fine_geo_vars["batch_stats"],
@@ -292,9 +400,12 @@ def main(argv=None):
                                             final_k).items()})
                 cand_rte.append(np.asarray(rte_k))
                 cand_rre.append(np.asarray(rre_k))
+                cand_coarse.append(np.asarray(coarse_k))
+                cand_final.append(np.asarray(final_k))
             # [B, K] matrices, one per verification statistic
-            stats_mat = {k_: np.stack([c[k_] for c in cand_stats], axis=1)
-                         for k_ in cand_stats[0]}
+            stats_mat = add_combo(
+                {k_: np.stack([c[k_] for c in cand_stats], axis=1)
+                 for k_ in cand_stats[0]})
             scores = stats_mat[args.hypo_score]
             rtes = np.stack(cand_rte, axis=1)
             rres = np.stack(cand_rre, axis=1)
@@ -318,7 +429,23 @@ def main(argv=None):
             c_rte_all += np.asarray(c_rte).tolist()
             c_rre_all += np.asarray(c_rre).tolist()
             final = final_k
+            if refine_fn is not None:
+                from ..env import compose_disentangled
+                bsz = batch["pc"].shape[0]
+                arange = np.arange(bsz)
+                coarse_sel = jnp.asarray(
+                    np.stack(cand_coarse, axis=1)[arange, sel])
+                final_sel = jnp.asarray(
+                    np.stack(cand_final, axis=1)[arange, sel])
+                total = compose_disentangled(final_sel, coarse_sel,
+                                             batch["pc"])
+                pre_rte_all += np.asarray(rte).tolist()
+                pre_rre_all += np.asarray(rre).tolist()
+                total, rte, rre = refine_fn(batch, total, np.asarray(rte),
+                                            np.asarray(rre))
         else:
+            orig_batch = batch
+            coarse = None
             if coarse_fn is not None:
                 batch, coarse = coarse_fn(geo_out, batch)
                 # coarse-stage-only residual, for observability
@@ -330,6 +457,19 @@ def main(argv=None):
                                       fine_geo_vars["batch_stats"], batch)
             final, rte, rre = episode(agent_state, geo_out, batch)
             jax.block_until_ready(final)
+            if refine_fn is not None:
+                from ..env import compose_disentangled
+                if coarse is None:
+                    coarse = jnp.broadcast_to(
+                        jnp.eye(4, dtype=jnp.float32),
+                        (orig_batch["pc"].shape[0], 4, 4))
+                total = compose_disentangled(final, coarse,
+                                             orig_batch["pc"])
+                pre_rte_all += np.asarray(rte).tolist()
+                pre_rre_all += np.asarray(rre).tolist()
+                total, rte, rre = refine_fn(orig_batch, total,
+                                            np.asarray(rte),
+                                            np.asarray(rre))
         dt = time.perf_counter() - t0
         times.append(dt / batch["pc"].shape[0])
         rte_all += np.asarray(rte).tolist()
@@ -356,6 +496,12 @@ def main(argv=None):
             s_ = np.concatenate(mats, axis=0).argmax(axis=1)
             m[f"rr_sel_{k_}"] = float(np.mean(
                 np.take_along_axis(solved_all, s_[:, None], 1)[:, 0]))
+    if pre_rte_all:
+        pre_rte = np.array(pre_rte_all)
+        pre_rre = np.array(pre_rre_all)
+        m["refine_rounds"] = args.refine_rounds
+        m["rr_pre_refine"] = float(np.mean((pre_rte < 5.0)
+                                           & (pre_rre < 10.0)))
     # first batch includes compile; report steady-state timing too
     m["avg_episode_time_s"] = float(np.mean(times))
     m["avg_episode_time_steady_s"] = float(np.mean(times[1:]) if

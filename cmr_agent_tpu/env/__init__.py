@@ -7,6 +7,7 @@ from .environment import (  # noqa: F401
     alignment_score,
     alignment_stats,
     nn_alignment_stats,
+    compose_disentangled,
     expert_action,
     apply_action,
     observation_from_pose,

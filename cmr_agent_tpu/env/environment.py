@@ -24,8 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.geometry import (euler_angles_to_matrix_xyz, frustum_mask,
-                            matrix_to_euler_xyz_extrinsic, project_points,
-                            transform_points_disentangled)
+                            make_se3, matrix_to_euler_xyz_extrinsic,
+                            project_points, transform_points_disentangled)
 from ..ops.scatter import scatter_mean_image
 
 
@@ -181,6 +181,32 @@ def alignment_stats(state, final_pose, image_h: int, image_w: int):
         "above50_norm": jnp.sum(valid & (sim > 0.5), axis=1) / n,
         "above70_norm": jnp.sum(valid & (sim > 0.7), axis=1) / n,
     }
+
+
+def compose_disentangled(final_pose, coarse, pc_orig):
+    """Fold an episode's disentangled final pose onto the coarse rebase.
+
+    The episode runs on the cloud rebased by ``coarse`` (cloud-frame
+    entangled SE(3)) and reports ``final_pose`` in the DISENTANGLED
+    convention of that rebased cloud (rotation about its centroid,
+    ops.to_disentangled). This returns the single entangled cloud-frame
+    transform equivalent to "apply ``coarse``, then apply ``final_pose``
+    disentangled" — the composed pipeline estimate, suitable for a further
+    :func:`apply_coarse_pose` rebase (refinement rounds) or for serving.
+
+    ``pc_orig [B,N,3]`` is the ORIGINAL (un-rebased) cloud; the rebased
+    centroid is recovered as ``R_c·mean(pc) + t_c`` rather than
+    materialising the rebased cloud.
+    """
+    R_c = coarse[..., :3, :3].astype(jnp.float32)
+    t_c = coarse[..., :3, 3].astype(jnp.float32)
+    c = (jnp.einsum("bij,bj->bi", R_c,
+                    pc_orig.astype(jnp.float32).mean(axis=1)) + t_c)
+    R_f = final_pose[..., :3, :3].astype(jnp.float32)
+    t_f = final_pose[..., :3, 3].astype(jnp.float32)
+    # entangled translation: t = t' + c - R·c  (inverse of to_disentangled)
+    t_ent = t_f + c - jnp.einsum("bij,bj->bi", R_f, c)
+    return make_se3(R_f, t_ent) @ coarse.astype(jnp.float32)
 
 
 def nn_alignment_stats(state, final_pose, image_h: int, image_w: int,

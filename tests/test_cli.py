@@ -104,6 +104,33 @@ def test_cli_coarse_to_fine_pipeline(tmp_path, monkeypatch):
         assert f"rr_sel_{k}" in m2
         assert m2[f"rr_sel_{k}"] <= m2["rr_any_hypothesis"] + 1e-9
     assert abs(m2["rr_sel_smooth_mean"] - m2["rr_selected"]) < 1e-9
+    assert "rr_sel_combo" in m2
+
+    # verified refinement rounds on the composed estimate, selecting with
+    # the combined statistic; acceptance is gated so metrics stay finite
+    m3 = test_agent.main(["--dataset", "synthetic", "--tiny",
+                          "--synthetic-length", "2", "--eval-batch-size", "2",
+                          "--max-batches", "1", "--unmasked-warp",
+                          "--iter-ckpt", iter_ckpts[0], "--iter-iters", "1",
+                          "--iter-hypotheses", "2", "--hypo-score", "combo",
+                          "--refine-rounds", "1", "--refine-iter",
+                          "--fine-geo-ckpt", geo_ckpts[0]])
+    assert m3["refine_rounds"] == 1
+    assert 0.0 <= m3["rr_pre_refine"] <= 1.0
+    # rte/rre_mean are recalled-only (NaN at RR=0 with random weights);
+    # the all-sample medians must always be finite
+    assert np.isfinite(m3["rte_median_all"])
+    assert np.isfinite(m3["rre_median_all"])
+
+    # refinement without a coarse stage (agent-only pipeline)
+    m4 = test_agent.main(["--dataset", "synthetic", "--tiny",
+                          "--synthetic-length", "2", "--eval-batch-size", "2",
+                          "--max-batches", "1",
+                          "--geo-ckpt", geo_ckpts[0],
+                          "--refine-rounds", "1"])
+    assert m4["refine_rounds"] == 1
+    assert np.isfinite(m4["rte_median_all"])
+    assert np.isfinite(m4["rre_median_all"])
 
 
 def test_stop_file_checkpoints_and_exits(tmp_path, monkeypatch):

@@ -489,6 +489,42 @@ def test_nn_alignment_stats_spatial_consistency():
             assert np.allclose(np.asarray(stc[k]), st[k], atol=1e-6), k
 
 
+def test_compose_disentangled_matches_sequential_application():
+    """compose_disentangled must return the single entangled transform
+    equivalent to: apply the coarse rebase, then apply the episode's
+    final pose in the DISENTANGLED convention of the rebased cloud."""
+    from cmr_agent_tpu.env import compose_disentangled
+    from cmr_agent_tpu.ops.geometry import (transform_points,
+                                            transform_points_disentangled)
+
+    rng = np.random.default_rng(5)
+    B, N = 3, 64
+    pc = rng.normal(scale=4.0, size=(B, N, 3)).astype(np.float32)
+
+    def rand_se3():
+        R = Rotation.random(B, random_state=rng.integers(1 << 30)
+                            ).as_matrix().astype(np.float32)
+        t = rng.uniform(-3, 3, size=(B, 3)).astype(np.float32)
+        out = np.zeros((B, 4, 4), np.float32)
+        out[:, :3, :3] = R
+        out[:, :3, 3] = t
+        out[:, 3, 3] = 1.0
+        return out
+
+    coarse, final = rand_se3(), rand_se3()
+    rebased = np.asarray(transform_points(
+        jnp.asarray(pc), jnp.asarray(coarse[:, :3, :3]),
+        jnp.asarray(coarse[:, :3, 3])))
+    expected = np.asarray(transform_points_disentangled(
+        jnp.asarray(rebased), jnp.asarray(final[:, :3, :3]),
+        jnp.asarray(final[:, :3, 3])))
+    total = compose_disentangled(jnp.asarray(final), jnp.asarray(coarse),
+                                 jnp.asarray(pc))
+    got = np.asarray(transform_points(
+        jnp.asarray(pc), total[:, :3, :3], total[:, :3, 3]))
+    np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
 def test_reward_improves_toward_target():
     rng = np.random.default_rng(3)
     B, N = 2, 100

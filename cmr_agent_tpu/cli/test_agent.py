@@ -91,6 +91,22 @@ def main(argv=None):
                         "(18-45 deg residual) — a fresh perception pass "
                         "on the nearly-aligned cloud re-aims them. "
                         "0 = off (reference behaviour: one episode)")
+    p.add_argument("--refine-beam", default="",
+                   help="comma-separated portfolio of verification "
+                        "statistics (e.g. 'combo,mean_valid,ir_smooth'): "
+                        "each statistic's top-ranked candidate seeds its "
+                        "OWN verified refinement (--refine-rounds), and "
+                        "the final pose is selected across the refined "
+                        "beam by --hypo-score, re-scored in each member's "
+                        "final perception frame. Rationale (selector "
+                        "study, docs/CONVERGENCE.md section 16): the "
+                        "statistic families fail on disjoint scenes, and "
+                        "verification separates candidates far better "
+                        "AFTER refinement has sharpened the true-basin "
+                        "one — so refine the disagreement set, then "
+                        "re-vote. Costs len(beam) x refine-rounds fine "
+                        "stages. Requires --iter-hypotheses > 1 and "
+                        "--refine-rounds > 0")
     p.add_argument("--refine-iter", action="store_true",
                    help="each refinement round first re-decodes the "
                         "residual with the cost volume on a grid shrunk "
@@ -199,6 +215,19 @@ def main(argv=None):
     if args.refine_iter and not args.iter_ckpt:
         p.error("--refine-iter needs --iter-ckpt (the cost volume that "
                 "re-decodes the residual)")
+    beam_names = [s.strip() for s in args.refine_beam.split(",")
+                  if s.strip()]
+    if beam_names:
+        if args.refine_rounds <= 0 or args.iter_hypotheses <= 1:
+            p.error("--refine-beam needs --refine-rounds > 0 and "
+                    "--iter-hypotheses > 1 (it refines candidates of the "
+                    "multi-hypothesis decode)")
+        known = {"smooth_mean", "sum_norm", "mean_valid", "frac_valid",
+                 "above50_norm", "above70_norm", "ir_smooth", "ir_mean",
+                 "ir_norm", "combo"}
+        bad = [s for s in beam_names if s not in known]
+        if bad:
+            p.error(f"unknown --refine-beam statistics: {bad}")
 
     score_fn = None
     if args.iter_hypotheses > 1 or args.refine_rounds > 0:
@@ -328,10 +357,16 @@ def main(argv=None):
             of the round's coarse step — identity when --refine-iter is
             off). Rejected samples keep their previous pose and metrics,
             so a round can only help under the verifier's judgement.
+
+            Returns ``(total, rte, rre, stats)``; ``stats`` holds the
+            accepted pose's RAW verification statistics ([B] per key,
+            final round's perception frame) — the cross-member selection
+            input for --refine-beam.
             """
             b = batch0["pc"].shape[0]
             eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
                                    (b, 4, 4))
+            acc_stats = None
             for _ in range(args.refine_rounds):
                 if args.refine_iter:
                     batch_c = _rebase(batch0, total)
@@ -369,7 +404,10 @@ def main(argv=None):
                                   total_cand, total)
                 rte_cur = np.where(accept, np.asarray(rte_r), rte_cur)
                 rre_cur = np.where(accept, np.asarray(rre_r), rre_cur)
-            return total, rte_cur, rre_cur
+                acc_stats = {k_: np.where(accept, pair[k_][:, 0],
+                                          pair[k_][:, 1])
+                             for k_ in pair if k_ != "combo"}
+            return total, rte_cur, rre_cur, acc_stats
 
     rte_all, rre_all, times = [], [], []
     pre_rte_all, pre_rre_all = [], []
@@ -379,6 +417,7 @@ def main(argv=None):
     # solve (the selection ceiling)
     hypo_first, hypo_any, hypo_sel_oracle = [], [], []
     hypo_stat_mats, hypo_rte_mats, hypo_rre_mats = {}, [], []
+    beam_any = []          # --refine-beam: any refined member solved
     multi = coarse_fn is not None and args.iter_hypotheses > 1
     for i, batch in enumerate(loader):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -433,16 +472,42 @@ def main(argv=None):
                 from ..env import compose_disentangled
                 bsz = batch["pc"].shape[0]
                 arange = np.arange(bsz)
-                coarse_sel = jnp.asarray(
-                    np.stack(cand_coarse, axis=1)[arange, sel])
-                final_sel = jnp.asarray(
-                    np.stack(cand_final, axis=1)[arange, sel])
-                total = compose_disentangled(final_sel, coarse_sel,
-                                             batch["pc"])
+                coarse_stack = np.stack(cand_coarse, axis=1)
+                final_stack = np.stack(cand_final, axis=1)
                 pre_rte_all += np.asarray(rte).tolist()
                 pre_rre_all += np.asarray(rre).tolist()
-                total, rte, rre = refine_fn(batch, total, np.asarray(rte),
-                                            np.asarray(rre))
+                # beam: each portfolio statistic nominates one candidate;
+                # all nominees are refined, then re-voted post-refinement
+                # (without --refine-beam the beam is just the selected
+                # candidate — the original single-member behaviour)
+                members = beam_names or [args.hypo_score]
+                b_rte, b_rre, b_stats = [], [], []
+                for name in members:
+                    idx = (sel if name == args.hypo_score
+                           else stats_mat[name].argmax(axis=1))
+                    coarse_m = jnp.asarray(coarse_stack[arange, idx])
+                    final_m = jnp.asarray(final_stack[arange, idx])
+                    total_m = compose_disentangled(final_m, coarse_m,
+                                                   batch["pc"])
+                    total_m, rte_m, rre_m, st_m = refine_fn(
+                        batch, total_m, rtes[arange, idx],
+                        rres[arange, idx])
+                    b_rte.append(rte_m)
+                    b_rre.append(rre_m)
+                    b_stats.append(st_m)
+                if len(members) == 1:
+                    rte, rre = b_rte[0], b_rre[0]
+                else:
+                    bmat = add_combo(
+                        {k_: np.stack([s[k_] for s in b_stats], axis=1)
+                         for k_ in b_stats[0]})
+                    bsel = bmat[args.hypo_score].argmax(axis=1)
+                    rte_b = np.stack(b_rte, axis=1)
+                    rre_b = np.stack(b_rre, axis=1)
+                    rte = rte_b[arange, bsel]
+                    rre = rre_b[arange, bsel]
+                    beam_any += ((rte_b < 5.0)
+                                 & (rre_b < 10.0)).any(axis=1).tolist()
         else:
             orig_batch = batch
             coarse = None
@@ -467,9 +532,9 @@ def main(argv=None):
                                              orig_batch["pc"])
                 pre_rte_all += np.asarray(rte).tolist()
                 pre_rre_all += np.asarray(rre).tolist()
-                total, rte, rre = refine_fn(orig_batch, total,
-                                            np.asarray(rte),
-                                            np.asarray(rre))
+                total, rte, rre, _ = refine_fn(orig_batch, total,
+                                               np.asarray(rte),
+                                               np.asarray(rre))
         dt = time.perf_counter() - t0
         times.append(dt / batch["pc"].shape[0])
         rte_all += np.asarray(rte).tolist()
@@ -502,6 +567,11 @@ def main(argv=None):
         m["refine_rounds"] = args.refine_rounds
         m["rr_pre_refine"] = float(np.mean((pre_rte < 5.0)
                                            & (pre_rre < 10.0)))
+        if beam_any:
+            m["refine_beam"] = args.refine_beam
+            # post-refinement beam ceiling: some refined member solved
+            # (the beam re-vote's selection quality is RR vs this)
+            m["rr_beam_any"] = float(np.mean(beam_any))
     # first batch includes compile; report steady-state timing too
     m["avg_episode_time_s"] = float(np.mean(times))
     m["avg_episode_time_steady_s"] = float(np.mean(times[1:]) if

@@ -122,6 +122,22 @@ def test_cli_coarse_to_fine_pipeline(tmp_path, monkeypatch):
     assert np.isfinite(m3["rte_median_all"])
     assert np.isfinite(m3["rre_median_all"])
 
+    # refinement beam: each portfolio statistic's top candidate is
+    # refined, the final pose is re-voted across the refined beam
+    m5 = test_agent.main(["--dataset", "synthetic", "--tiny",
+                          "--synthetic-length", "2", "--eval-batch-size", "2",
+                          "--max-batches", "1", "--unmasked-warp",
+                          "--iter-ckpt", iter_ckpts[0], "--iter-iters", "1",
+                          "--iter-hypotheses", "2", "--hypo-score", "combo",
+                          "--refine-rounds", "1",
+                          "--refine-beam", "combo,mean_valid",
+                          "--fine-geo-ckpt", geo_ckpts[0]])
+    assert m5["refine_beam"] == "combo,mean_valid"
+    # the beam re-vote picks among refined members, so its RR is bounded
+    # by the post-refinement any-member ceiling
+    assert m5["registration_recall"] <= m5["rr_beam_any"] + 1e-9
+    assert np.isfinite(m5["rte_median_all"])
+
     # refinement without a coarse stage (agent-only pipeline)
     m4 = test_agent.main(["--dataset", "synthetic", "--tiny",
                           "--synthetic-length", "2", "--eval-batch-size", "2",

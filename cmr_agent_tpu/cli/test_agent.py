@@ -107,6 +107,21 @@ def main(argv=None):
                         "re-vote. Costs len(beam) x refine-rounds fine "
                         "stages. Requires --iter-hypotheses > 1 and "
                         "--refine-rounds > 0")
+    p.add_argument("--beam-score", default="",
+                   choices=["", "smooth_mean", "sum_norm", "mean_valid",
+                            "frac_valid", "above50_norm", "above70_norm",
+                            "ir_smooth", "ir_mean", "ir_norm", "combo"],
+                   help="statistic for the POST-refinement beam re-vote "
+                        "(defaults to --hypo-score). The best pre- and "
+                        "post-refinement selectors differ: before "
+                        "refinement the shrunk-mean/combo family wins "
+                        "(wrong-basin candidates rarely out-score it at "
+                        "coarse residuals), but AFTER refinement the "
+                        "true-basin member is sharply aligned and the "
+                        "sharp-inlier count above50_norm separates it "
+                        "best — weak-match accumulation cannot fake "
+                        "sims > 0.5 (docs/CONVERGENCE.md section 16 "
+                        "stage 5)")
     p.add_argument("--refine-iter", action="store_true",
                    help="each refinement round first re-decodes the "
                         "residual with the cost volume on a grid shrunk "
@@ -418,6 +433,7 @@ def main(argv=None):
     hypo_first, hypo_any, hypo_sel_oracle = [], [], []
     hypo_stat_mats, hypo_rte_mats, hypo_rre_mats = {}, [], []
     beam_any = []          # --refine-beam: any refined member solved
+    beam_rte_mats, beam_rre_mats, beam_stat_mats = [], [], {}
     multi = coarse_fn is not None and args.iter_hypotheses > 1
     for i, batch in enumerate(loader):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -501,13 +517,20 @@ def main(argv=None):
                     bmat = add_combo(
                         {k_: np.stack([s[k_] for s in b_stats], axis=1)
                          for k_ in b_stats[0]})
-                    bsel = bmat[args.hypo_score].argmax(axis=1)
+                    bsel = bmat[args.beam_score
+                                or args.hypo_score].argmax(axis=1)
                     rte_b = np.stack(b_rte, axis=1)
                     rre_b = np.stack(b_rre, axis=1)
                     rte = rte_b[arange, bsel]
                     rre = rre_b[arange, bsel]
                     beam_any += ((rte_b < 5.0)
                                  & (rre_b < 10.0)).any(axis=1).tolist()
+                    # per-member matrices for offline post-refine vote
+                    # study (mirrors the hypo_* candidate dumps)
+                    beam_rte_mats.append(rte_b)
+                    beam_rre_mats.append(rre_b)
+                    for k_, v_ in bmat.items():
+                        beam_stat_mats.setdefault(k_, []).append(v_)
         else:
             orig_batch = batch
             coarse = None
@@ -569,9 +592,19 @@ def main(argv=None):
                                            & (pre_rre < 10.0)))
         if beam_any:
             m["refine_beam"] = args.refine_beam
+            m["beam_score"] = args.beam_score or args.hypo_score
             # post-refinement beam ceiling: some refined member solved
             # (the beam re-vote's selection quality is RR vs this)
             m["rr_beam_any"] = float(np.mean(beam_any))
+            # what-if beam-vote RR under every statistic (offline
+            # selector comparison from a single run, like rr_sel_*)
+            rte_bm = np.concatenate(beam_rte_mats, axis=0)
+            rre_bm = np.concatenate(beam_rre_mats, axis=0)
+            solved_bm = (rte_bm < 5.0) & (rre_bm < 10.0)
+            for k_, mats in beam_stat_mats.items():
+                s_ = np.concatenate(mats, axis=0).argmax(axis=1)
+                m[f"rr_beamsel_{k_}"] = float(np.mean(
+                    np.take_along_axis(solved_bm, s_[:, None], 1)[:, 0]))
     # first batch includes compile; report steady-state timing too
     m["avg_episode_time_s"] = float(np.mean(times))
     m["avg_episode_time_steady_s"] = float(np.mean(times[1:]) if
@@ -586,6 +619,11 @@ def main(argv=None):
             dump["hypo_RRE"] = np.concatenate(hypo_rre_mats, axis=0)
             for k_, mats in hypo_stat_mats.items():
                 dump[f"hypo_{k_}"] = np.concatenate(mats, axis=0)
+        if beam_rte_mats:
+            dump["beam_RTE"] = np.concatenate(beam_rte_mats, axis=0)
+            dump["beam_RRE"] = np.concatenate(beam_rre_mats, axis=0)
+            for k_, mats in beam_stat_mats.items():
+                dump[f"beam_{k_}"] = np.concatenate(mats, axis=0)
         scio.savemat(args.save_mat, dump)
     print(json.dumps(m, indent=2))
     return m

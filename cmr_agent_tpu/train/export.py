@@ -111,16 +111,23 @@ def export_composed_pipeline(cfg: Config, geo_variables: Dict,
                              hypotheses: int = 1, iter_iters: int = 1,
                              iter_shrink: float = 1.0,
                              hypo_score: str = "smooth_mean",
+                             refine_rounds: int = 0,
+                             refine_beam: tuple = (),
+                             beam_score: str | None = None,
                              path: str | None = None) -> bytes:
     """Serialise the full coarse-to-fine registration pipeline as ONE
     program: raw batch -> cost-volume coarse search over the top-K yaw
     hypotheses -> per-candidate re-perception + agent episode ->
-    feature-alignment verification -> selected absolute pose.
+    feature-alignment verification -> selected absolute pose ->
+    optional verified refinement rounds (accept-if-statistic-improves,
+    optionally over a beam of statistic-nominated candidates).
 
     This is the flagship ±10 m/±π configuration (docs/CONVERGENCE.md §16
-    stage 4; 82.8% held-out RR) as a serving artifact — the reference
-    ships IterModel and the agent as disjoint scripts (Test_Geo.py /
-    Test_Agent.py) and never composes, let alone serves, them.
+    stages 4-5) as a serving artifact — the reference ships IterModel and
+    the agent as disjoint scripts (Test_Geo.py / Test_Agent.py) and never
+    composes, let alone serves, them. ``hypo_score`` may be any
+    ``env.alignment_stats`` / ``env.nn_alignment_stats`` key or
+    ``"combo"`` (z(smooth_mean) + 0.3 z(ir_smooth) across candidates).
 
     Inputs (all inference-only; no ground truth anywhere): the geo
     forward's batch tensors (``img``, ``pc``, ``node``, ``pt2node``,
@@ -141,7 +148,7 @@ def export_composed_pipeline(cfg: Config, geo_variables: Dict,
     the fine stage); defaults to ``geo_variables``.
     """
     from ..env import (alignment_stats, apply_coarse_pose,
-                       bearing_init_pose, run_episode)
+                       bearing_init_pose, nn_alignment_stats, run_episode)
     from ..models import (CMRAgent, IterModel, MultiHeadModel,
                           decode_topk_yaw_poses)
     from ..ops.geometry import make_se3, transform_points
@@ -152,6 +159,27 @@ def export_composed_pipeline(cfg: Config, geo_variables: Dict,
     agent = CMRAgent(cfg)
     fine_vars = (fine_geo_variables if fine_geo_variables is not None
                  else geo_variables)
+
+    beam_score = beam_score or hypo_score
+    ir_names = ("ir_smooth", "ir_mean", "ir_norm")
+    need_ir = any(s == "combo" or s in ir_names
+                  for s in (hypo_score, beam_score, *refine_beam))
+
+    def cand_stats(state_k, final):
+        s = alignment_stats(state_k, final, cfg.image_h, cfg.image_w)
+        if need_ir:   # the whole-image NN search is the expensive half
+            s.update(nn_alignment_stats(state_k, final, cfg.image_h,
+                                        cfg.image_w))
+        return s
+
+    def combine(stats_mat, name):
+        """Candidate-axis score matrix for statistic ``name`` ([B, K])."""
+        if name != "combo":
+            return stats_mat[name]
+        z = lambda a: ((a - a.mean(axis=1, keepdims=True))
+                       / (a.std(axis=1, keepdims=True) + 1e-9))
+        return (z(stats_mat["smooth_mean"])
+                + 0.3 * z(stats_mat["ir_smooth"]))
 
     input_keys = ("img", "pc", "node", "pt2node", "K",
                   "R_amplitude", "T_amplitude")
@@ -199,6 +227,27 @@ def export_composed_pipeline(cfg: Config, geo_variables: Dict,
                        matrix_accumulated=o["matrix_accumulated"])
         return stk
 
+    def refine(batch, total, name):
+        """``refine_rounds`` verified rounds from estimate ``total``,
+        accepting per sample only where statistic ``name`` improves in
+        the round's perception frame; returns (pose, accepted stats)."""
+        b = total.shape[0]
+        eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (b, 4, 4))
+        last = None
+        for _ in range(refine_rounds):
+            batch_m = apply_coarse_pose(batch, total)
+            state_m, final_m = run_fine(batch_m)
+            cand_total = entangle_and_compose(state_m, final_m, total)
+            s_new = cand_stats(state_m, final_m)
+            s_inc = cand_stats(state_m, eye)   # incumbent = identity here
+            pair = {k2: jnp.stack([s_new[k2], s_inc[k2]], axis=1)
+                    for k2 in s_new}
+            acc = jnp.argmax(combine(pair, name), axis=1) == 0
+            total = jnp.where(acc[:, None, None], cand_total, total)
+            last = {k2: jnp.where(acc, s_new[k2], s_inc[k2])
+                    for k2 in s_new}
+        return total, last
+
     def fn(batch):
         geo_out = geo_model.apply(geo_variables, batch, train=False,
                                   with_loss=False)
@@ -208,7 +257,7 @@ def export_composed_pipeline(cfg: Config, geo_variables: Dict,
         cands = decode_topk_yaw_poses(
             out["cost_volume_logits"], st["R_amplitude"],
             st["T_amplitude"], cfg.nlabel, hypotheses)
-        poses, scores = [], []
+        poses, stat_list = [], []
         for k in range(hypotheses):
             mk = cands[:, k]
             stk = tail_iters(dict(
@@ -220,14 +269,42 @@ def export_composed_pipeline(cfg: Config, geo_variables: Dict,
             batch_k = apply_coarse_pose(batch, coarse)
             state_k, final = run_fine(batch_k)
             poses.append(entangle_and_compose(state_k, final, coarse))
-            scores.append(alignment_stats(state_k, final, cfg.image_h,
-                                          cfg.image_w)[hypo_score])
-        scores = jnp.stack(scores, axis=1)                 # [B, K]
+            stat_list.append(cand_stats(state_k, final))
+        stats_mat = {k2: jnp.stack([s[k2] for s in stat_list], axis=1)
+                     for k2 in stat_list[0]}               # [B, K] each
+        scores = combine(stats_mat, hypo_score)            # [B, K]
         poses = jnp.stack(poses, axis=1)                   # [B, K, 4, 4]
         sel = jnp.argmax(scores, axis=1)
         pose = jnp.take_along_axis(
             poses, sel[:, None, None, None], axis=1)[:, 0]
         score = jnp.take_along_axis(scores, sel[:, None], axis=1)[:, 0]
+        if refine_rounds > 0:
+            members = tuple(refine_beam) or (hypo_score,)
+            m_poses, m_stats = [], []
+            for name in members:
+                idx = jnp.argmax(combine(stats_mat, name), axis=1)
+                total_m = jnp.take_along_axis(
+                    poses, idx[:, None, None, None], axis=1)[:, 0]
+                total_m, last = refine(batch, total_m, name)
+                m_poses.append(total_m)
+                m_stats.append(last)
+            if len(members) > 1:
+                bstats = {k2: jnp.stack([s[k2] for s in m_stats], axis=1)
+                          for k2 in m_stats[0]}
+                bscore = combine(bstats, beam_score)
+                bsel = jnp.argmax(bscore, axis=1)
+                pose = jnp.take_along_axis(
+                    jnp.stack(m_poses, axis=1),
+                    bsel[:, None, None, None], axis=1)[:, 0]
+                score = jnp.take_along_axis(bscore, bsel[:, None],
+                                            axis=1)[:, 0]
+            else:
+                pose = m_poses[0]
+                # combo is a cross-candidate z-score (meaningless for a
+                # single member); report the accepted smooth_mean then
+                rep = ("smooth_mean" if hypo_score == "combo"
+                       else hypo_score)
+                score = m_stats[0][rep]
         return {"pose": pose, "score": score, "candidate_scores": scores}
 
     args = {k: jax.ShapeDtypeStruct(jnp.shape(v), jnp.asarray(v).dtype)

@@ -131,8 +131,11 @@ def test_cli_coarse_to_fine_pipeline(tmp_path, monkeypatch):
                           "--iter-hypotheses", "2", "--hypo-score", "combo",
                           "--refine-rounds", "1",
                           "--refine-beam", "combo,mean_valid",
+                          "--beam-score", "above50_norm",
                           "--fine-geo-ckpt", geo_ckpts[0]])
     assert m5["refine_beam"] == "combo,mean_valid"
+    assert m5["beam_score"] == "above50_norm"
+    assert "rr_beamsel_above50_norm" in m5
     # the beam re-vote picks among refined members, so its RR is bounded
     # by the post-refinement any-member ceiling
     assert m5["registration_recall"] <= m5["rr_beam_any"] + 1e-9

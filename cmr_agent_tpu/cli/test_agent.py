@@ -93,9 +93,11 @@ def main(argv=None):
                         "0 = off (reference behaviour: one episode)")
     p.add_argument("--refine-beam", default="",
                    help="comma-separated portfolio of verification "
-                        "statistics (e.g. 'combo,mean_valid,ir_smooth'): "
-                        "each statistic's top-ranked candidate seeds its "
-                        "OWN verified refinement (--refine-rounds), and "
+                        "statistics (e.g. 'combo,mean_valid,ir_smooth'; "
+                        "'stat:R' nominates that statistic's rank-R "
+                        "candidate, so 'combo,combo:2' refines the top "
+                        "two by combo): each nominated candidate seeds "
+                        "its OWN verified refinement (--refine-rounds), "
                         "the final pose is selected across the refined "
                         "beam by --hypo-score, re-scored in each member's "
                         "final perception frame. Rationale (selector "
@@ -230,9 +232,17 @@ def main(argv=None):
     if args.refine_iter and not args.iter_ckpt:
         p.error("--refine-iter needs --iter-ckpt (the cost volume that "
                 "re-decodes the residual)")
-    beam_names = [s.strip() for s in args.refine_beam.split(",")
-                  if s.strip()]
-    if beam_names:
+    def parse_member(spec):
+        """'stat' or 'stat:R' -> (stat, rank); rank 1 = that statistic's
+        top candidate, rank 2 its runner-up, etc. Rank-2 nomination
+        covers scenes where the true basin is the vote's close second
+        (it then wins the post-refinement re-vote once sharpened)."""
+        name, _, rank = spec.partition(":")
+        return name, (int(rank) if rank else 1)
+
+    beam_members = [parse_member(s.strip())
+                    for s in args.refine_beam.split(",") if s.strip()]
+    if beam_members:
         if args.refine_rounds <= 0 or args.iter_hypotheses <= 1:
             p.error("--refine-beam needs --refine-rounds > 0 and "
                     "--iter-hypotheses > 1 (it refines candidates of the "
@@ -240,9 +250,14 @@ def main(argv=None):
         known = {"smooth_mean", "sum_norm", "mean_valid", "frac_valid",
                  "above50_norm", "above70_norm", "ir_smooth", "ir_mean",
                  "ir_norm", "combo"}
-        bad = [s for s in beam_names if s not in known]
+        bad = [s for s, _ in beam_members if s not in known]
         if bad:
             p.error(f"unknown --refine-beam statistics: {bad}")
+        bad_rank = [(s, r) for s, r in beam_members
+                    if not 1 <= r <= args.iter_hypotheses]
+        if bad_rank:
+            p.error(f"--refine-beam ranks out of 1..{args.iter_hypotheses}"
+                    f": {bad_rank}")
 
     score_fn = None
     if args.iter_hypotheses > 1 or args.refine_rounds > 0:
@@ -496,11 +511,16 @@ def main(argv=None):
                 # all nominees are refined, then re-voted post-refinement
                 # (without --refine-beam the beam is just the selected
                 # candidate — the original single-member behaviour)
-                members = beam_names or [args.hypo_score]
+                members = beam_members or [(args.hypo_score, 1)]
                 b_rte, b_rre, b_stats = [], [], []
-                for name in members:
-                    idx = (sel if name == args.hypo_score
-                           else stats_mat[name].argmax(axis=1))
+                for name, rank in members:
+                    if rank == 1 and name == args.hypo_score:
+                        idx = sel
+                    elif rank == 1:
+                        idx = stats_mat[name].argmax(axis=1)
+                    else:
+                        idx = np.argsort(-stats_mat[name],
+                                         axis=1)[:, rank - 1]
                     coarse_m = jnp.asarray(coarse_stack[arange, idx])
                     final_m = jnp.asarray(final_stack[arange, idx])
                     total_m = compose_disentangled(final_m, coarse_m,

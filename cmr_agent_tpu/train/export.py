@@ -161,9 +161,14 @@ def export_composed_pipeline(cfg: Config, geo_variables: Dict,
                  else geo_variables)
 
     beam_score = beam_score or hypo_score
+    # beam entries are "stat" or "stat:R" (rank-R nominee, 1-based)
+    beam_specs = tuple((s.partition(":")[0],
+                        int(s.partition(":")[2] or 1))
+                       for s in refine_beam)
     ir_names = ("ir_smooth", "ir_mean", "ir_norm")
     need_ir = any(s == "combo" or s in ir_names
-                  for s in (hypo_score, beam_score, *refine_beam))
+                  for s in (hypo_score, beam_score,
+                            *(n for n, _ in beam_specs)))
 
     def cand_stats(state_k, final):
         s = alignment_stats(state_k, final, cfg.image_h, cfg.image_w)
@@ -279,10 +284,12 @@ def export_composed_pipeline(cfg: Config, geo_variables: Dict,
             poses, sel[:, None, None, None], axis=1)[:, 0]
         score = jnp.take_along_axis(scores, sel[:, None], axis=1)[:, 0]
         if refine_rounds > 0:
-            members = tuple(refine_beam) or (hypo_score,)
+            members = beam_specs or ((hypo_score, 1),)
             m_poses, m_stats = [], []
-            for name in members:
-                idx = jnp.argmax(combine(stats_mat, name), axis=1)
+            for name, rank in members:
+                sc = combine(stats_mat, name)
+                idx = (jnp.argmax(sc, axis=1) if rank == 1 else
+                       jnp.argsort(-sc, axis=1)[:, rank - 1])
                 total_m = jnp.take_along_axis(
                     poses, idx[:, None, None, None], axis=1)[:, 0]
                 total_m, last = refine(batch, total_m, name)

@@ -130,10 +130,10 @@ def test_cli_coarse_to_fine_pipeline(tmp_path, monkeypatch):
                           "--iter-ckpt", iter_ckpts[0], "--iter-iters", "1",
                           "--iter-hypotheses", "2", "--hypo-score", "combo",
                           "--refine-rounds", "1",
-                          "--refine-beam", "combo,mean_valid",
+                          "--refine-beam", "combo,combo:2,mean_valid",
                           "--beam-score", "above50_norm",
                           "--fine-geo-ckpt", geo_ckpts[0]])
-    assert m5["refine_beam"] == "combo,mean_valid"
+    assert m5["refine_beam"] == "combo,combo:2,mean_valid"
     assert m5["beam_score"] == "above50_norm"
     assert "rr_beamsel_above50_norm" in m5
     # the beam re-vote picks among refined members, so its RR is bounded

@@ -146,7 +146,7 @@ def test_composed_pipeline_export_roundtrip(tmp_path):
     export_composed_pipeline(CFG, gv, iv, av, batch, hypotheses=2,
                              iter_iters=2, iter_shrink=0.25,
                              hypo_score="combo", refine_rounds=1,
-                             refine_beam=("combo", "mean_valid"),
+                             refine_beam=("combo", "combo:2", "mean_valid"),
                              beam_score="above50_norm", path=path)
 
     inp = {k: np.asarray(batch[k]) for k in

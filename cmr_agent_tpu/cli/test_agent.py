@@ -124,6 +124,22 @@ def main(argv=None):
                         "best — weak-match accumulation cannot fake "
                         "sims > 0.5 (docs/CONVERGENCE.md section 16 "
                         "stage 5)")
+    p.add_argument("--beam-frame", default="own",
+                   choices=["own", "shared"],
+                   help="perception frame for the beam re-vote scores. "
+                        "'own' (default): each member is scored in its "
+                        "final refinement round's frame — cheap, but the "
+                        "scores come from DIFFERENT features, so a "
+                        "wrong-basin member whose frame happens to "
+                        "produce flattering features can out-vote a "
+                        "0.5-deg-aligned one (the residual weakness of "
+                        "the rank-2 beam, CONVERGENCE section 16). "
+                        "'shared': score EVERY refined member's pose in "
+                        "EVERY member's perception frame (same features "
+                        "within a frame -> comparable), z-score across "
+                        "poses per frame, and vote on the frame-averaged "
+                        "z-score. Costs len(beam) extra geo forwards + "
+                        "len(beam)^2 scorings per batch")
     p.add_argument("--refine-iter", action="store_true",
                    help="each refinement round first re-decodes the "
                         "residual with the cost volume on a grid shrunk "
@@ -512,7 +528,7 @@ def main(argv=None):
                 # (without --refine-beam the beam is just the selected
                 # candidate — the original single-member behaviour)
                 members = beam_members or [(args.hypo_score, 1)]
-                b_rte, b_rre, b_stats = [], [], []
+                b_rte, b_rre, b_stats, b_total = [], [], [], []
                 for name, rank in members:
                     if rank == 1 and name == args.hypo_score:
                         idx = sel
@@ -531,12 +547,47 @@ def main(argv=None):
                     b_rte.append(rte_m)
                     b_rre.append(rre_m)
                     b_stats.append(st_m)
+                    b_total.append(total_m)
                 if len(members) == 1:
                     rte, rre = b_rte[0], b_rre[0]
+                elif args.beam_frame == "shared":
+                    # cross-frame comparable re-vote: perceive each
+                    # member's frame once, score ALL refined poses
+                    # against those same features, z-score across poses
+                    # within the frame, and average over frames. A frame
+                    # can flatter its own member's features no more than
+                    # anyone else's — the 'own' mode's comparability
+                    # leak (each member voting with its own features) is
+                    # gone by construction.
+                    from ..ops.geometry import se3_inverse as _inv
+                    frame_mats = []
+                    for t_frame in b_total:
+                        batch_f = _rebase(batch, t_frame)
+                        geo_f = geo_forward(fine_geo_vars["params"],
+                                            fine_geo_vars["batch_stats"],
+                                            batch_f)
+                        inv_f = _inv(t_frame)
+                        per_pose = []
+                        for t_pose in b_total:
+                            rel = _to_dis(t_pose @ inv_f, batch_f["pc"])
+                            per_pose.append(
+                                {k_: np.asarray(v_) for k_, v_ in
+                                 score_fn(geo_f, batch_f, rel).items()})
+                        frame_mats.append(add_combo(
+                            {k_: np.stack([s[k_] for s in per_pose],
+                                          axis=1)
+                             for k_ in per_pose[0]}))
+                    bmat = {}
+                    for k_ in frame_mats[0]:
+                        zs = [(a[k_] - a[k_].mean(axis=1, keepdims=True))
+                              / (a[k_].std(axis=1, keepdims=True) + 1e-9)
+                              for a in frame_mats]
+                        bmat[k_] = np.mean(zs, axis=0)
                 else:
                     bmat = add_combo(
                         {k_: np.stack([s[k_] for s in b_stats], axis=1)
                          for k_ in b_stats[0]})
+                if len(members) > 1:
                     bsel = bmat[args.beam_score
                                 or args.hypo_score].argmax(axis=1)
                     rte_b = np.stack(b_rte, axis=1)
@@ -613,6 +664,7 @@ def main(argv=None):
         if beam_any:
             m["refine_beam"] = args.refine_beam
             m["beam_score"] = args.beam_score or args.hypo_score
+            m["beam_frame"] = args.beam_frame
             # post-refinement beam ceiling: some refined member solved
             # (the beam re-vote's selection quality is RR vs this)
             m["rr_beam_any"] = float(np.mean(beam_any))

@@ -135,11 +135,29 @@ def test_cli_coarse_to_fine_pipeline(tmp_path, monkeypatch):
                           "--fine-geo-ckpt", geo_ckpts[0]])
     assert m5["refine_beam"] == "combo,combo:2,mean_valid"
     assert m5["beam_score"] == "above50_norm"
+    assert m5["beam_frame"] == "own"
     assert "rr_beamsel_above50_norm" in m5
     # the beam re-vote picks among refined members, so its RR is bounded
     # by the post-refinement any-member ceiling
     assert m5["registration_recall"] <= m5["rr_beam_any"] + 1e-9
     assert np.isfinite(m5["rte_median_all"])
+
+    # shared-frame re-vote: every member's pose scored in every member's
+    # perception frame (comparable scores), vote on frame-averaged z
+    m6 = test_agent.main(["--dataset", "synthetic", "--tiny",
+                          "--synthetic-length", "2", "--eval-batch-size", "2",
+                          "--max-batches", "1", "--unmasked-warp",
+                          "--iter-ckpt", iter_ckpts[0], "--iter-iters", "1",
+                          "--iter-hypotheses", "2", "--hypo-score", "combo",
+                          "--refine-rounds", "1",
+                          "--refine-beam", "combo,combo:2,mean_valid",
+                          "--beam-score", "above50_norm",
+                          "--beam-frame", "shared",
+                          "--fine-geo-ckpt", geo_ckpts[0]])
+    assert m6["beam_frame"] == "shared"
+    assert "rr_beamsel_above50_norm" in m6
+    assert m6["registration_recall"] <= m6["rr_beam_any"] + 1e-9
+    assert np.isfinite(m6["rte_median_all"])
 
     # refinement without a coarse stage (agent-only pipeline)
     m4 = test_agent.main(["--dataset", "synthetic", "--tiny",

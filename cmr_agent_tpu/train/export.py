@@ -114,6 +114,7 @@ def export_composed_pipeline(cfg: Config, geo_variables: Dict,
                              refine_rounds: int = 0,
                              refine_beam: tuple = (),
                              beam_score: str | None = None,
+                             beam_frame: str = "own",
                              path: str | None = None) -> bytes:
     """Serialise the full coarse-to-fine registration pipeline as ONE
     program: raw batch -> cost-volume coarse search over the top-K yaw
@@ -165,6 +166,9 @@ def export_composed_pipeline(cfg: Config, geo_variables: Dict,
     beam_specs = tuple((s.partition(":")[0],
                         int(s.partition(":")[2] or 1))
                        for s in refine_beam)
+    if beam_frame not in ("own", "shared"):
+        raise ValueError(f"beam_frame must be 'own' or 'shared', got "
+                         f"{beam_frame!r}")
     ir_names = ("ir_smooth", "ir_mean", "ir_norm")
     need_ir = any(s == "combo" or s in ir_names
                   for s in (hypo_score, beam_score,
@@ -189,15 +193,20 @@ def export_composed_pipeline(cfg: Config, geo_variables: Dict,
     input_keys = ("img", "pc", "node", "pt2node", "K",
                   "R_amplitude", "T_amplitude")
 
-    def run_fine(batch_k):
-        """Re-perceive the rebased problem and run the agent episode;
-        returns (episode state, final disentangled pose)."""
+    def perceive(batch_k):
+        """Fine-stage geo forward -> episode/verification state dict."""
         geo_k = geo_model.apply(fine_vars, batch_k, train=False,
                                 with_loss=False)
         state_k = {k: geo_k[k] for k in
                    ("pc", "pc_overlap_pred", "pc_is_in_cam_scores",
                     "pc_geo_feat", "img_geo_feat")}
         state_k["K"] = batch_k["K"]
+        return state_k
+
+    def run_fine(batch_k):
+        """Re-perceive the rebased problem and run the agent episode;
+        returns (episode state, final disentangled pose)."""
+        state_k = perceive(batch_k)
         b = state_k["pc"].shape[0]
         pose_src = (bearing_init_pose(state_k) if cfg.bearing_init else
                     jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
@@ -296,9 +305,35 @@ def export_composed_pipeline(cfg: Config, geo_variables: Dict,
                 m_poses.append(total_m)
                 m_stats.append(last)
             if len(members) > 1:
-                bstats = {k2: jnp.stack([s[k2] for s in m_stats], axis=1)
-                          for k2 in m_stats[0]}
-                bscore = combine(bstats, beam_score)
+                if beam_frame == "shared":
+                    # cross-frame comparable re-vote (mirrors
+                    # cli.test_agent --beam-frame shared): score every
+                    # member's absolute pose against every member's
+                    # perception frame, z-score across poses within each
+                    # frame, vote on the frame-averaged z
+                    from ..ops.geometry import se3_inverse, to_disentangled
+                    z = lambda a: ((a - a.mean(axis=1, keepdims=True))
+                                   / (a.std(axis=1, keepdims=True) + 1e-9))
+                    frame_scores = []
+                    for t_frame in m_poses:
+                        state_f = perceive(apply_coarse_pose(batch,
+                                                             t_frame))
+                        inv_f = se3_inverse(t_frame)
+                        per_pose = [
+                            cand_stats(state_f,
+                                       to_disentangled(t_pose @ inv_f,
+                                                       state_f["pc"]))
+                            for t_pose in m_poses]
+                        fmat = {k2: jnp.stack([s[k2] for s in per_pose],
+                                              axis=1)
+                                for k2 in per_pose[0]}
+                        frame_scores.append(z(combine(fmat, beam_score)))
+                    bscore = sum(frame_scores) / len(frame_scores)
+                else:
+                    bstats = {k2: jnp.stack([s[k2] for s in m_stats],
+                                            axis=1)
+                              for k2 in m_stats[0]}
+                    bscore = combine(bstats, beam_score)
                 bsel = jnp.argmax(bscore, axis=1)
                 pose = jnp.take_along_axis(
                     jnp.stack(m_poses, axis=1),

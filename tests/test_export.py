@@ -147,7 +147,8 @@ def test_composed_pipeline_export_roundtrip(tmp_path):
                              iter_iters=2, iter_shrink=0.25,
                              hypo_score="combo", refine_rounds=1,
                              refine_beam=("combo", "combo:2", "mean_valid"),
-                             beam_score="above50_norm", path=path)
+                             beam_score="above50_norm",
+                             beam_frame="shared", path=path)
 
     inp = {k: np.asarray(batch[k]) for k in
            ("img", "pc", "node", "pt2node", "K",

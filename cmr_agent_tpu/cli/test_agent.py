@@ -390,6 +390,23 @@ def main(argv=None):
         from ..ops import to_disentangled as _to_dis
         from ..ops.geometry import se3_inverse
 
+        refine_decode = None
+        if args.refine_iter:
+            # MUST be jitted: run eagerly, the 729-pose volume
+            # materialises unfused ([B·729, H, W, 2F+2] and friends) and
+            # exhausts HBM at eval batch sizes that train fine under jit
+            @jax.jit
+            def refine_decode(geo_c, batch_c):
+                st = iter_model_state(geo_c, batch_c)
+                st = dict(st,
+                          R_amplitude=st["R_amplitude"]
+                          * args.refine_shrink,
+                          T_amplitude=st["T_amplitude"]
+                          * args.refine_shrink)
+                out = iter_model.apply(iter_vars, st, train=False,
+                                       with_loss=False)
+                return out["matrix_accumulated"]
+
         def refine_fn(batch0, total, rte_cur, rre_cur):
             """Verified refinement rounds on the composed estimate.
 
@@ -418,15 +435,7 @@ def main(argv=None):
                     batch_c = _rebase(batch0, total)
                     geo_c = geo_forward(geo_vars["params"],
                                         geo_vars["batch_stats"], batch_c)
-                    st = iter_model_state(geo_c, batch_c)
-                    st = dict(st,
-                              R_amplitude=st["R_amplitude"]
-                              * args.refine_shrink,
-                              T_amplitude=st["T_amplitude"]
-                              * args.refine_shrink)
-                    out = iter_model.apply(iter_vars, st, train=False,
-                                           with_loss=False)
-                    coarse_r = out["matrix_accumulated"]
+                    coarse_r = refine_decode(geo_c, batch_c)
                     total_base = coarse_r @ total
                 else:
                     coarse_r = eye

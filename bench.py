@@ -83,7 +83,7 @@ def build_workload(cfg, batch_size: int):
         def apply_fn(avars, o2, o3):
             return agent.apply(avars, o2, o3, train=False)
 
-        topk = cfg.raster_topk if 0 < cfg.raster_topk < cfg.num_pt else None
+        topk = cfg.episode_raster_topk()
         final, _ = run_episode(apply_fn, av, state, pose_src, pose_tgt, cfg,
                                deterministic=True, raster_topk=topk)
         return final

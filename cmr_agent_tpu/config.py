@@ -139,8 +139,21 @@ class Config:
     # <----------- TPU-specific knobs (no reference analog) ---------->
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     use_pallas: bool = True  # use fused Pallas kernels where available
-    # Episode observation: compact rasterisation to top-K overlap points
-    # (exact while overlap count <= K; 0 disables). Halves the hot kernel.
+    # Episode observation rasterisation strategy:
+    #   "topk" (default) — lax.top_k compaction of the top ``raster_topk``
+    #     overlap points once per episode + the flat kernel (exact while
+    #     the overlap count <= K; beyond that the lowest-score overlap
+    #     points are dropped). Fastest: per-step cost is capped at K rows.
+    #   "compact" — compacting Pallas kernel: each point tile packs its
+    #     valid rows to the front in VMEM and accumulation skips chunks
+    #     past the valid count. No K cap (exact at EVERY validity), no
+    #     top-k sort, no compaction gathers — but per-step cost scales
+    #     with the true valid count plus a per-tile permutation, so it
+    #     only beats "topk" when validity is low (<~15%) or when the K-cap
+    #     drops are unacceptable (overlap count > raster_topk).
+    #   "flat" — flat kernel over the full cloud (dead-tile gating only).
+    raster_mode: str = "topk"
+    # Top-K for raster_mode="topk" (0 disables the compaction there).
     raster_topk: int = 20480
     # Pose-aware 3-D observation: feed the agent's point branch the cloud
     # TRANSFORMED by the current pose estimate instead of the reference's
@@ -235,6 +248,16 @@ class Config:
         import jax.numpy as jnp
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else \
             jnp.float32
+
+    def episode_raster_topk(self):
+        """Top-K for the episode's one-off observation compaction.
+
+        Only ``raster_mode="topk"`` compacts globally; the "compact" kernel
+        packs per tile in VMEM and "flat" relies on dead-tile gating alone.
+        """
+        if self.raster_mode == "topk" and 0 < self.raster_topk < self.num_pt:
+            return self.raster_topk
+        return None
 
     # <----------- action tables as arrays (built on demand) ---------->
     def r_steps_array(self) -> np.ndarray:

@@ -308,7 +308,9 @@ def compact_observation_state(state, k: int):
 def observation_from_pose(feats, pose, image_h: int, image_w: int,
                           use_pallas=None, raster_dtype=None,
                           pose_aware: bool = False,
-                          bearing_channels: bool = False):
+                          bearing_channels: bool = False,
+                          raster_mode: str = "topk",
+                          obs3d_layout: str = "nc"):
     """Render the 2-D and 3-D observations under the current pose estimate.
 
     Args:
@@ -330,7 +332,12 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int,
         compute itself.
 
     Returns:
-      ``(observation_2d [B,H,W,2F], observation_3d [B,N,5 (+2)])``.
+      ``(observation_2d [B,H,W,2F], observation_3d [B,N,5 (+2)])`` —
+      channel-major ``[B, 5 (+2), N]`` with ``obs3d_layout="cn"`` (the
+      fused-eval episode layout: XLA pads the minormost dim to 128 lanes,
+      so a per-step row-major ``[B, N, 5]`` observation physically costs
+      ~25x its logical bytes; :class:`..models.agent.CMRAgent` detects the
+      layout from the channel count).
     """
     pc = feats["pc"]
     K = feats["K"]
@@ -338,6 +345,11 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int,
 
     R = pose[:, :3, :3]
     t = pose[:, :3, 3]
+
+    if obs3d_layout == "cn":
+        return _observation_from_pose_cn(
+            feats, R, t, image_h, image_w, use_pallas, raster_dtype,
+            pose_aware, bearing_channels, raster_mode)
 
     def project(points):
         moved = transform_points_disentangled(points, R, t)
@@ -359,10 +371,13 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int,
         xi = jnp.round(r_proj[..., 0]).astype(jnp.int32)
         yi = jnp.round(r_proj[..., 1]).astype(jnp.int32)
         pix = yi * image_w + xi
+        # pre-compacted valid-first layout: the flat kernel's whole-tile
+        # dead gating is already optimal here
         proj_feat = scatter_mean_image(r_feat, pix, r_valid,
                                        image_h, image_w,
                                        use_pallas=use_pallas,
-                                       compute_dtype=raster_dtype)
+                                       compute_dtype=raster_dtype,
+                                       mode="flat")
         # full-cloud frustum flags (and moved cloud) for the 3-D obs
         moved_full, _, in_cam = project(pc)
     else:
@@ -371,10 +386,10 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int,
         yi = jnp.round(proj[..., 1]).astype(jnp.int32)
         pix = yi * image_w + xi
         valid = in_cam & overlap
-        proj_feat = scatter_mean_image(feats["pc_geo_feat"], pix, valid,
-                                       image_h, image_w,
-                                       use_pallas=use_pallas,
-                                       compute_dtype=raster_dtype)
+        proj_feat = scatter_mean_image(
+            feats["pc_geo_feat"], pix, valid, image_h, image_w,
+            use_pallas=use_pallas, compute_dtype=raster_dtype,
+            mode="compact" if raster_mode == "compact" else "flat")
 
     observation_2d = jnp.concatenate([feats["img_geo_feat"], proj_feat],
                                      axis=-1)
@@ -390,6 +405,78 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int,
                                          (*obs_pc.shape[:2], 2)
                                          ).astype(pc.dtype))
     observation_3d = jnp.concatenate(channels, axis=-1)
+    return observation_2d, observation_3d
+
+
+def _observation_from_pose_cn(feats, R, t, image_h, image_w, use_pallas,
+                              raster_dtype, pose_aware, bearing_channels,
+                              raster_mode):
+    """Channel-major observation: every per-step intermediate is [B, C, N].
+
+    Same math as the row-major body; the point axis rides the LANES so no
+    narrow [B, N, 3] tensor ever materialises (see project_points_cn).
+    ``feats`` may carry precomputed ``pcT [B, 3, N]`` / ``raster_pcT``
+    (run_episode builds them once per episode).
+    """
+    from ..ops.geometry import frustum_mask_cn, project_points_cn
+    pc = feats["pc"]
+    K = feats["K"].astype(jnp.float32)
+    overlap = feats["pc_overlap_pred"]
+    dt_ = pc.dtype
+
+    pcT = feats.get("pcT")
+    if pcT is None:
+        pcT = jnp.swapaxes(pc, 1, 2)                          # [B, 3, N]
+    pcT = pcT.astype(jnp.float32)
+    meanT = pcT.mean(axis=2, keepdims=True)                   # [B, 3, 1]
+    Rf = R.astype(jnp.float32)
+    tf = t.astype(jnp.float32)
+
+    def projectT(ptsT):
+        movedT = (jnp.einsum("bij,bjn->bin", Rf, ptsT - meanT)
+                  + meanT + tf[:, :, None])
+        projT = project_points_cn(movedT, K)
+        return movedT, projT, frustum_mask_cn(projT, w=image_w, h=image_h)
+
+    if "raster_pc" in feats:  # pre-compacted (compact_observation_state)
+        r_pcT = feats.get("raster_pcT")
+        if r_pcT is None:
+            r_pcT = jnp.swapaxes(feats["raster_pc"], 1, 2)
+        _, r_projT, r_in_cam = projectT(r_pcT.astype(jnp.float32))
+        r_valid = r_in_cam & feats["raster_valid"]
+        xi = jnp.round(r_projT[:, 0]).astype(jnp.int32)       # [B, K]
+        yi = jnp.round(r_projT[:, 1]).astype(jnp.int32)
+        pix = yi * image_w + xi
+        proj_feat = scatter_mean_image(feats["raster_feat"], pix, r_valid,
+                                       image_h, image_w,
+                                       use_pallas=use_pallas,
+                                       compute_dtype=raster_dtype,
+                                       mode="flat")
+        movedT, _, in_cam = projectT(pcT)
+    else:
+        movedT, projT, in_cam = projectT(pcT)
+        xi = jnp.round(projT[:, 0]).astype(jnp.int32)
+        yi = jnp.round(projT[:, 1]).astype(jnp.int32)
+        pix = yi * image_w + xi
+        valid = in_cam & overlap
+        proj_feat = scatter_mean_image(
+            feats["pc_geo_feat"], pix, valid, image_h, image_w,
+            use_pallas=use_pallas, compute_dtype=raster_dtype,
+            mode="compact" if raster_mode == "compact" else "flat")
+
+    observation_2d = jnp.concatenate([feats["img_geo_feat"], proj_feat],
+                                     axis=-1)
+    obs_pcT = movedT if pose_aware else pcT
+    channels = [obs_pcT.astype(dt_), overlap[:, None, :].astype(dt_),
+                in_cam[:, None, :].astype(dt_)]
+    if bearing_channels:
+        w_row = overlap.astype(jnp.float32)[:, None, :]       # [B, 1, N]
+        denom = jnp.maximum(w_row.sum(axis=2), 1.0)           # [B, 1]
+        cxz = (movedT[:, (0, 2), :] * w_row).sum(axis=2) / denom  # [B, 2]
+        unit = cxz / (jnp.linalg.norm(cxz, axis=-1, keepdims=True) + 1e-6)
+        channels.append(jnp.broadcast_to(
+            unit[:, :, None], (pcT.shape[0], 2, pcT.shape[2])).astype(dt_))
+    observation_3d = jnp.concatenate(channels, axis=1)        # [B, C, N]
     return observation_2d, observation_3d
 
 

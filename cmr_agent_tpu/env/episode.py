@@ -89,6 +89,22 @@ def run_episode(
     if raster_topk is not None:
         state = compact_observation_state(state, raster_topk)
 
+    # Channel-major observations on the fused-eval path: every per-step
+    # [B, N, narrow] tensor (projection chains, the 5..7-channel 3-D
+    # observation) would otherwise materialise with its minormost dim
+    # padded to 128 lanes — up to 25x the logical bytes per step. The
+    # trajectory-collecting (training) path keeps the reference layout
+    # (BC/PPO buffers and the torch-parity agent consume [K, B, N, C]).
+    from ..models.layers import fused_stack_mode
+    obs3d_layout = ("cn" if (not collect_trajectory
+                             and fused_stack_mode(cfg.use_pallas, False)
+                             is not None) else "nc")
+    if obs3d_layout == "cn":
+        state = dict(state)
+        state["pcT"] = jnp.swapaxes(state["pc"], 1, 2)        # once/episode
+        if "raster_pc" in state:
+            state["raster_pcT"] = jnp.swapaxes(state["raster_pc"], 1, 2)
+
     need_reward = collect_trajectory
     if need_reward:
         _, dist0 = step_reward(pose_init, state,
@@ -114,7 +130,8 @@ def run_episode(
             state, pose, cfg.image_h, cfg.image_w,
             use_pallas=cfg.use_pallas, raster_dtype=raster_dtype,
             pose_aware=cfg.pose_aware_observation,
-            bearing_channels=cfg.obs_bearing_channels)
+            bearing_channels=cfg.obs_bearing_channels,
+            raster_mode=cfg.raster_mode, obs3d_layout=obs3d_layout)
         r_logits, t_logits, value = agent_apply(agent_vars, obs2d, obs3d)
 
         new_key, sub = jax.random.split(carry.key)

@@ -18,7 +18,9 @@ from flax import linen as nn
 from ..config import Config
 from typing import Any
 
-from .layers import (ResDenseBlock, BatchNorm, leaky, torch_kernel_init)
+from .layers import (ResDenseBlock, BatchNorm, leaky, torch_kernel_init,
+                     _BNParams, _DenseParams, fold_dense_bn,
+                     fused_stack_mode)
 
 
 def _avg_pool(x, window):
@@ -68,21 +70,121 @@ class _ResDenseSplitBlock(nn.Module):
 
     features: int
     dtype: Any = None
+    use_pallas: Any = None
+    cn: bool = False  # channel-major [B, C, N] / pooled [B, C, 1]
 
     @nn.compact
     def __call__(self, feat, pooled, train: bool):
-        in_features = feat.shape[-1] + pooled.shape[-1]
-        h = _SplitInputDense(in_features, dtype=self.dtype,
-                             name="Dense_0")(feat, pooled)
-        h = BatchNorm(name="BatchNorm_0")(h, train)
-        h = leaky(h)
-        h = nn.Dense(self.features, kernel_init=torch_kernel_init,
-                     dtype=self.dtype, name="Dense_1")(h)
-        h = BatchNorm(name="BatchNorm_1")(h, train)
-        s = _SplitInputDense(self.features, dtype=self.dtype,
-                             name="Dense_2")(feat, pooled)
-        s = BatchNorm(name="BatchNorm_2")(s, train)
-        return leaky(h + s)
+        mode = fused_stack_mode(self.use_pallas, train)
+        if self.cn:
+            assert mode is not None, \
+                "cn layout is only valid on the fused eval path"
+            f_in, p = feat.shape[1], pooled.shape[1]
+        else:
+            f_in, p = feat.shape[-1], pooled.shape[-1]
+        in_features = f_in + p
+        if mode is None:
+            h = _SplitInputDense(in_features, dtype=self.dtype,
+                                 name="Dense_0")(feat, pooled)
+            h = BatchNorm(name="BatchNorm_0")(h, train)
+            h = leaky(h)
+            h = nn.Dense(self.features, kernel_init=torch_kernel_init,
+                         dtype=self.dtype, name="Dense_1")(h)
+            h = BatchNorm(name="BatchNorm_1")(h, train)
+            s = _SplitInputDense(self.features, dtype=self.dtype,
+                                 name="Dense_2")(feat, pooled)
+            s = BatchNorm(name="BatchNorm_2")(s, train)
+            return leaky(h + s)
+
+        # Fused eval: BN folds into the matmuls and the pooled-broadcast
+        # contribution of each split kernel folds into a per-batch bias,
+        # so the whole block is one VMEM round trip of the stack tensor
+        # (layers.py fused-eval-stacks note). Identical parameter tree.
+        from ..ops.pallas_kernels import (fused_dense_chain,
+                                          fused_dense_chain_cn)
+        if self.dtype is not None:
+            feat = feat.astype(self.dtype)
+        pooled32 = (pooled[:, :, 0] if self.cn
+                    else pooled[:, 0, :]).astype(jnp.float32)  # [B, P]
+        k0, c0 = _DenseParams(in_features, name="Dense_0")(in_features)
+        w0, b0 = fold_dense_bn(k0, c0,
+                               *_BNParams(name="BatchNorm_0")(in_features))
+        k1, c1 = _DenseParams(self.features, name="Dense_1")(in_features)
+        w1, b1 = fold_dense_bn(k1, c1,
+                               *_BNParams(name="BatchNorm_1")(self.features))
+        k2, c2 = _DenseParams(self.features, name="Dense_2")(in_features)
+        w2, b2 = fold_dense_bn(k2, c2,
+                               *_BNParams(name="BatchNorm_2")(self.features))
+        bias0 = pooled32 @ w0[f_in:] + b0                    # [B, C]
+        bias2 = pooled32 @ w2[f_in:] + b2
+        chain = fused_dense_chain_cn if self.cn else fused_dense_chain
+        return chain(feat, (w0[:f_in], w1), (bias0, b1),
+                     w2[:f_in], bias2, slopes=(0.2, None),
+                     residual="proj", final_slope=0.2,
+                     interpret=(mode == "interpret"))
+
+
+class _ResDenseConcatBlock(nn.Module):
+    """ResDenseBlock over the virtual ``concat([feat, broadcast(pooled)])``.
+
+    Parameter tree identical to
+    :class:`cmr_agent_tpu.models.layers.ResDenseBlock` with an identity
+    shortcut (Dense_0/BatchNorm_0/Dense_1/BatchNorm_1) applied to the
+    materialised concat — which is exactly what the unfused branch does.
+    The fused eval branch never materialises the concat: Dense_0's pooled
+    half folds into a per-batch bias and the identity shortcut's pooled
+    half is broadcast in VMEM (fused_dense_chain residual
+    "identity_split").
+    """
+
+    features: int
+    dtype: Any = None
+    use_pallas: Any = None
+    cn: bool = False  # channel-major [B, C, N] / pooled [B, C, 1]
+
+    @nn.compact
+    def __call__(self, feat, pooled, train: bool):
+        mode = fused_stack_mode(self.use_pallas, train)
+        if self.cn:
+            assert mode is not None, \
+                "cn layout is only valid on the fused eval path"
+            f_in, p = feat.shape[1], pooled.shape[1]
+        else:
+            f_in, p = feat.shape[-1], pooled.shape[-1]
+        in_features = f_in + p
+        assert in_features == self.features, "identity shortcut shape"
+        if mode is None:
+            x = jnp.concatenate(
+                [feat, jnp.broadcast_to(pooled, feat.shape[:-1]
+                                        + (pooled.shape[-1],))], axis=-1)
+            dense = lambda fts, name: nn.Dense(
+                fts, kernel_init=torch_kernel_init, dtype=self.dtype,
+                name=name)
+            h = dense(in_features, "Dense_0")(x)
+            h = BatchNorm(name="BatchNorm_0")(h, train)
+            h = leaky(h)
+            h = dense(self.features, "Dense_1")(h)
+            h = BatchNorm(name="BatchNorm_1")(h, train)
+            return leaky(h + x)
+
+        from ..ops.pallas_kernels import (fused_dense_chain,
+                                          fused_dense_chain_cn)
+        if self.dtype is not None:
+            feat = feat.astype(self.dtype)
+        pooled32 = (pooled[:, :, 0] if self.cn
+                    else pooled[:, 0, :]).astype(jnp.float32)  # [B, P]
+        k0, c0 = _DenseParams(in_features, name="Dense_0")(in_features)
+        w0, b0 = fold_dense_bn(k0, c0,
+                               *_BNParams(name="BatchNorm_0")(in_features))
+        k1, c1 = _DenseParams(self.features, name="Dense_1")(in_features)
+        w1, b1 = fold_dense_bn(k1, c1,
+                               *_BNParams(name="BatchNorm_1")(self.features))
+        bias0 = pooled32 @ w0[f_in:] + b0
+        chain = fused_dense_chain_cn if self.cn else fused_dense_chain
+        return chain(feat, (w0[:f_in], w1), (bias0, b1),
+                     pooled=pooled32, slopes=(0.2, None),
+                     residual="identity_split", final_slope=0.2,
+                     interpret=(mode == "interpret"))
 
 
 class CMRAgent(nn.Module):
@@ -100,20 +202,33 @@ class CMRAgent(nn.Module):
         #     (CMRAgent.py:25-29, 92-101). The broadcast+concat between
         #     stages is never materialised for the projected-shortcut
         #     layers (see _ResDenseSplitBlock) — the stack runs at the HBM
-        #     roofline, so this is a direct traffic cut. -->
-        feat = ResDenseBlock(f, dtype=dt, name="state3d_0")(state_3d, train)
-        pooled = jnp.max(feat, axis=1, keepdims=True)            # [B, 1, f]
-        feat = _ResDenseSplitBlock(f, dtype=dt, name="state3d_1")(
-            feat, pooled, train)
-        pooled = jnp.max(feat, axis=1, keepdims=True)
-        feat = _ResDenseSplitBlock(f, dtype=dt, name="state3d_2")(
-            feat, pooled, train)
-        pooled = jnp.max(feat, axis=1, keepdims=True)
-        # last stage: identity shortcut (2f -> 2f), concat materialised
-        embed = jnp.concatenate(
-            [feat, jnp.broadcast_to(pooled, feat.shape)], axis=-1)
-        feat = ResDenseBlock(2 * f, dtype=dt, name="state3d_3")(embed, train)
-        embed_3d = jnp.max(feat, axis=1)                         # [B, 2f]
+        #     roofline, so this is a direct traffic cut. The observation
+        #     may arrive CHANNEL-MAJOR ([B, C, N], detected by the channel
+        #     count): XLA pads the minormost dim to 128 lanes, so the
+        #     row-major [B, N, 5..128] stack tensors cost up to 25x their
+        #     logical bytes; the cn layout streams at the true roofline
+        #     (fused eval only — training keeps the reference layout). -->
+        up = cfg.use_pallas
+        from .layers import fused_stack_mode
+        cn = state_3d.shape[-1] not in (5, 7)                # [B, C, N]?
+        if cn and fused_stack_mode(up, train) is None:
+            state_3d = jnp.swapaxes(state_3d, 1, 2)          # CPU fallback
+            cn = False
+        pool_axis = 2 if cn else 1
+        feat = ResDenseBlock(f, dtype=dt, use_pallas=up, cn=cn,
+                             name="state3d_0")(state_3d, train)
+        pooled = jnp.max(feat, axis=pool_axis, keepdims=True)
+        feat = _ResDenseSplitBlock(f, dtype=dt, use_pallas=up, cn=cn,
+                                   name="state3d_1")(feat, pooled, train)
+        pooled = jnp.max(feat, axis=pool_axis, keepdims=True)
+        feat = _ResDenseSplitBlock(f, dtype=dt, use_pallas=up, cn=cn,
+                                   name="state3d_2")(feat, pooled, train)
+        pooled = jnp.max(feat, axis=pool_axis, keepdims=True)
+        # last stage: identity shortcut over the virtual (feat, pooled)
+        # concat — never materialised on the fused eval path
+        feat = _ResDenseConcatBlock(2 * f, dtype=dt, use_pallas=up, cn=cn,
+                                    name="state3d_3")(feat, pooled, train)
+        embed_3d = jnp.max(feat, axis=pool_axis)                 # [B, 2f]
 
         # <-- 2-D branch: conv/avg-pool pyramid (CMRAgent.py:31-60) -->
         # Default-slope (0.01) LeakyReLU, matching torch nn.LeakyReLU().
@@ -148,12 +263,14 @@ class CMRAgent(nn.Module):
             # sample, so any point's row carries the full statistic; feed
             # it straight to the heads instead of through the max-pool
             # stack (Config.policy_aux_state)
-            if state_3d.shape[-1] != 7:
+            n_ch = state_3d.shape[1] if cn else state_3d.shape[-1]
+            if n_ch != 7:
                 raise ValueError(
                     "policy_aux_state requires the bearing observation "
                     "channels (obs_bearing_channels=True -> state_3d "
-                    f"[B,N,7]); got {state_3d.shape[-1]} channels")
-            state = jnp.concatenate([state, state_3d[:, 0, 5:]], axis=-1)
+                    f"[B,N,7]); got {n_ch} channels")
+            aux = state_3d[:, 5:, 0] if cn else state_3d[:, 0, 5:]
+            state = jnp.concatenate([state, aux], axis=-1)
 
         def mlp_head(widths, out_dim, name):
             h = state

@@ -86,10 +86,13 @@ class IMGPCEnDecoder(nn.Module):
         proxy_at_node = index_points(enc["pt_proxy"], enc["node2proxy"],
                                      cfg.use_pallas)
         node_fused = jnp.concatenate([enc["node_feat"], proxy_at_node], axis=-1)
-        node_fused = ResDenseBlock(f, dtype=dt, name="node_fuse_0")(
+        node_fused = ResDenseBlock(f, dtype=dt, use_pallas=cfg.use_pallas,
+                                   name="node_fuse_0")(
             node_fused, train)
         for i in range(1, cfg.node_fuse_res_num):
-            node_fused = ResDenseBlock(f, dtype=dt, name=f"node_fuse_{i}")(
+            node_fused = ResDenseBlock(f, dtype=dt,
+                                       use_pallas=cfg.use_pallas,
+                                       name=f"node_fuse_{i}")(
                 node_fused, train)
         node_fused = nn.Dropout(0.1, deterministic=not train)(node_fused)
 

@@ -28,6 +28,7 @@ def _point_fuse(cfg: Config, pt_feat, fused_node_feat, pt2node, train,
     x = jnp.concatenate([pt_feat, node_at_pt], axis=-1)
     for i in range(cfg.pt_head_res_num):
         x = ResDenseBlock(cfg.embed_dim, dtype=dtype,
+                          use_pallas=cfg.use_pallas,
                           name=f"point_fuse_{i}")(x, train)
     return x
 

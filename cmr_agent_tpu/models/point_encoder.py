@@ -139,7 +139,8 @@ class PointTransformer(nn.Module):
         pc_c = pc.astype(dt)
         node_c = node.astype(dt)
 
-        raw_mlp = MiniPointNet(f, dtype=dt, name="raw_point_mlp")
+        raw_mlp = MiniPointNet(f, dtype=dt, use_pallas=cfg.use_pallas,
+                               name="raw_point_mlp")
         if cfg.use_gnn_embedding:
             # The reference's use_gnn_embedding branch is dead upstream
             # (PointViT.py:51-56 ends in `pass` and returns an undefined
@@ -164,14 +165,16 @@ class PointTransformer(nn.Module):
                                           name="group_0")(
             pc, x_feat, node, node_feat, pt2node)
         back = index_points(node_feat, pt2node, cfg.use_pallas)
-        x_feat = MiniPointNet(f, dtype=dt, name="point_mlp_0")(
+        x_feat = MiniPointNet(f, dtype=dt, use_pallas=cfg.use_pallas,
+                              name="point_mlp_0")(
             jnp.concatenate([x_feat, back], axis=-1), train)
 
         node_feat = GroupPointTransformer(f, dtype=dt, use_pallas=cfg.use_pallas,
                                           name="group_1")(
             pc, x_feat, node, node_feat, pt2node)
         back = index_points(node_feat, pt2node, cfg.use_pallas)
-        x_feat = MiniPointNet(f, dtype=dt, name="point_mlp_1")(
+        x_feat = MiniPointNet(f, dtype=dt, use_pallas=cfg.use_pallas,
+                              name="point_mlp_1")(
             jnp.concatenate([x_feat, back], axis=-1), train)
 
         node_feat = GroupPointTransformer(f, dtype=dt, use_pallas=cfg.use_pallas,

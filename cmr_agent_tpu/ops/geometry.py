@@ -206,6 +206,27 @@ def frustum_mask(xyz: jnp.ndarray, w: int, h: int) -> jnp.ndarray:
     return (x >= 0) & (x <= (w - 1)) & (y >= 0) & (y <= (h - 1)) & (z > 0)
 
 
+def project_points_cn(pcT: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+    """Channel-major :func:`project_points`: ``[B, 3, N] -> [B, 3, N]``.
+
+    Identical math with the point axis on the LANES: XLA pads the
+    minormost dim to 128 lanes, so the row-major ``[B, N, 3]`` projection
+    intermediates physically occupy ~43x their logical bytes when they
+    must materialise (e.g. feeding a Pallas kernel); the transposed
+    layout streams at the true roofline.
+    """
+    proj = jnp.einsum("bij,bjn->bin", K, pcT)
+    z = proj[:, 2:3]
+    xy = proj[:, 0:2] / jnp.where(jnp.abs(z) < 1e-10, 1e-10, z)
+    return jnp.concatenate([xy, proj[:, 2:3]], axis=1)
+
+
+def frustum_mask_cn(projT: jnp.ndarray, w: int, h: int) -> jnp.ndarray:
+    """:func:`frustum_mask` on channel-major ``[B, 3, N]`` -> ``[B, N]``."""
+    x, y, z = projT[:, 0], projT[:, 1], projT[:, 2]
+    return (x >= 0) & (x <= (w - 1)) & (y >= 0) & (y <= (h - 1)) & (z > 0)
+
+
 def pose_diff(P_pred: jnp.ndarray, P_gt: jnp.ndarray):
     """(RTE, RRE) evaluation metric.
 

@@ -546,7 +546,8 @@ def segment_mean_count_fused(data, idx, num_segments: int, tile: int = 512,
 #     masks): ~2x less VPU vreg traffic at identical MXU flops.
 # --------------------------------------------------------------------------
 
-def _sum_image_flat_kernel(flags_ref, data_ref, idx_ref, out_ref):
+def _sum_image_flat_kernel(flags_ref, data_ref, idx_ref, out_ref, *,
+                           append_ones: bool = False):
     bb, t = pl.program_id(0), pl.program_id(1)
 
     @pl.when(t == 0)
@@ -560,6 +561,11 @@ def _sum_image_flat_kernel(flags_ref, data_ref, idx_ref, out_ref):
         data = data_ref[0]                    # [T, F]
         m_pad = out_ref.shape[2]
         tile = data.shape[0]
+        if append_ones:
+            # counts ride as a VMEM-local ones column (exact products) —
+            # appending on the host side costs a full [B, N, F+1] copy
+            data = jnp.concatenate(
+                [data, jnp.ones((tile, 1), data.dtype)], axis=1)
         seg = jax.lax.broadcasted_iota(jnp.int32, (tile, m_pad), 1)
         onehotT = (seg == idx_ref[0, 0].reshape(tile, 1)).astype(data.dtype)
         out_ref[0] += _contractT(data, onehotT)
@@ -588,8 +594,10 @@ def _sum_image_factored_kernel(flags_ref, data_ref, lo_ref, hi_ref, out_ref,
 
 
 def _segment_sum_image_impl(data, idx, h: int, w: int, tile: int,
-                            factored: bool, compute_dtype, interpret: bool):
+                            factored: bool, compute_dtype, interpret: bool,
+                            append_ones: bool = False):
     b, n, f = data.shape
+    f_out = f + 1 if append_ones else f
     num_segments = h * w
     tile = min(tile, n)
     if n % tile != 0:
@@ -641,12 +649,13 @@ def _segment_sum_image_impl(data, idx, h: int, w: int, tile: int,
             pl.BlockSpec((1, tile, f), lambda bb, tt, fl: (bb, tt, 0)),
             pl.BlockSpec((1, 1, tile), lambda bb, tt, fl: (bb, 0, tt)),
         ],
-        out_specs=pl.BlockSpec((1, f, m_pad), lambda bb, tt, fl: (bb, 0, 0)),
+        out_specs=pl.BlockSpec((1, f_out, m_pad),
+                               lambda bb, tt, fl: (bb, 0, 0)),
     )
     out = pl.pallas_call(
-        _sum_image_flat_kernel,
+        functools.partial(_sum_image_flat_kernel, append_ones=append_ones),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, f, m_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, f_out, m_pad), jnp.float32),
         interpret=interpret,
     )(flags, data, idx[:, None, :])
     return jnp.swapaxes(out, 1, 2)[:, :num_segments]
@@ -690,6 +699,182 @@ def _sum_image_bwd(h, w, tile, factored, compute_dtype, interpret, idx, g):
 segment_sum_image_fused.defvjp(_sum_image_fwd, _sum_image_bwd)
 
 
+# --------------------------------------------------------------------------
+# Compacting image-raster kernel: in-tile valid-first permutation + chunk
+# gating. Replaces the global top-K compaction (lax.top_k + three
+# take_along_axis gathers at the ~30 GB/s XLA gather rate, measured
+# ~4.8 ms/iteration at KITTI scale) with a per-tile permutation built and
+# applied entirely in VMEM:
+#   * prefix ranks via a lower-triangular matmul (the MXU computes the
+#     prefix sums; Mosaic has no fast 1-D cumsum),
+#   * a [T, T] permutation one-hot packs valid rows to the tile front
+#     (2*T*T*F flops — ~10% of the main accumulation matmul),
+#   * the segment accumulation then runs per ``chunk`` rows, skipping
+#     chunks past the tile's valid count.
+# Cost therefore scales with the ACTUAL number of valid points (plus one
+# partial chunk per tile) with no global data movement, no top-K sort, and
+# no K cap — the semantics are exact for every validity fraction, unlike
+# compact_observation_state's "drop beyond K" policy.
+# --------------------------------------------------------------------------
+
+def _sum_image_compact_kernel(flags_ref, data_ref, idx_ref, out_ref, *,
+                              chunk: int, hw: int):
+    bb, t = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    flag = flags_ref[bb * pl.num_programs(1) + t]
+
+    @pl.when(flag != 0)
+    def _():
+        data = data_ref[0]                    # [T, F] compute dtype
+        ids = idx_ref[0]                      # [1, T] i32; >= hw routed out
+        tile = data.shape[0]
+        # ids in column layout for the byte-split matmul columns below.
+        # An in-kernel [1, T] -> [T, 1] relayout: passing a second
+        # [B, N, 1] operand instead makes XLA materialise the id tensor
+        # sublane-major (a 40960-wide transpose + 64x lane padding,
+        # measured ~1 ms/step at KITTI scale).
+        ids_col = jnp.swapaxes(ids, 0, 1)     # [T, 1]
+
+        # Exclusive prefix of the valid mask as a [1, T] x [T, T] triangle
+        # matmul (the MXU computes the prefix sums; Mosaic has no fast 1-D
+        # cumsum and no 1-D<->2-D vector reshapes). DEFAULT precision is
+        # exact: operands are 0/1 (bf16-representable), accumulation is f32.
+        # NOTE orientation — a [T, T] LHS with a lane-padded skinny RHS
+        # measured ~6x the whole kernel; the [1, T] LHS costs ~1% of it.
+        valid = (ids < hw)                    # [1, T]
+        v = valid.astype(jnp.float32)
+        tri_r = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+        tri_c = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
+        upper = (tri_r < tri_c).astype(jnp.float32)    # strict upper
+        rank = jnp.dot(v, upper, preferred_element_type=jnp.float32)
+        nvalid = jnp.sum(v)
+        # invalid rank = position - valid rank; parked after the valid run
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1).astype(
+            jnp.float32)
+        dest = jnp.where(valid, rank, nvalid + pos - rank).astype(jnp.int32)
+
+        # permutation matrix P[dst, src] by broadcast-compare (no
+        # reshapes); one matmul moves the data AND the ids, the latter
+        # split into two bf16-exact byte columns (hi, lo in [0, 128); ids
+        # <= h*w < 2^14). The f32 path keeps HIGHEST so the permutation
+        # stays an exact row selection (gather_rows_fused policy); bf16
+        # data is exact either way.
+        perm = (tri_r == dest).astype(data.dtype)      # [T(dst), T(src)]
+        ids_hi = (ids_col // 128).astype(data.dtype)   # [T, 1]
+        ids_lo = (ids_col % 128).astype(data.dtype)
+        aug_in = jnp.concatenate(
+            [data, ids_hi, ids_lo], axis=1)            # [T, F+2]
+        prec = (jax.lax.Precision.HIGHEST if data.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        comp = jnp.dot(perm, aug_in, precision=prec,
+                       preferred_element_type=jnp.float32)  # [T, F+2]
+        f = data.shape[1]
+        comp_data = comp[:, :f].astype(data.dtype)
+        comp_ids = (comp[:, f:f + 1] * 128 + comp[:, f + 1:f + 2]).astype(
+            jnp.int32)                                 # [T, 1] exact
+        # invalid rows keep id == hw -> never match the one-hot below.
+
+        m_pad = out_ref.shape[2]
+        nvalid_i = nvalid.astype(jnp.int32)
+        ones = jnp.ones((chunk, 1), data.dtype)
+        for c in range(tile // chunk):
+            @pl.when(c * chunk < nvalid_i)
+            def _(c=c):
+                d = comp_data[c * chunk:(c + 1) * chunk]     # [C, F]
+                cid = comp_ids[c * chunk:(c + 1) * chunk]    # [C, 1]
+                seg = jax.lax.broadcasted_iota(jnp.int32, (chunk, m_pad), 1)
+                oh = (seg == cid).astype(data.dtype)
+                # counts ride as a VMEM-local ones column (exact products)
+                aug = jnp.concatenate([d, ones], axis=1)     # [C, F+1]
+                out_ref[0] += _contractT(aug, oh)
+
+
+def _segment_sum_count_image_compact_impl(data, idx, h: int, w: int,
+                                          tile: int, chunk: int,
+                                          compute_dtype, interpret: bool):
+    b, n, f = data.shape
+    hw = h * w
+    tile = min(tile, _round_up(n, chunk))
+    if n % tile != 0:
+        pad = _round_up(n, tile) - n
+        data = jnp.pad(data, ((0, 0), (0, pad), (0, 0)))
+        idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=np.int32(hw))
+        n = data.shape[1]
+    n_tiles = n // tile
+    idx = idx.astype(jnp.int32)
+    if compute_dtype is not None:
+        data = data.astype(compute_dtype)
+    m_pad = _round_up(hw, 128)
+    flags = jnp.any(
+        idx.reshape(b, n_tiles, tile) < hw, axis=-1
+    ).astype(jnp.int32).reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, f), lambda bb, tt, fl: (bb, tt, 0)),
+            pl.BlockSpec((1, 1, tile), lambda bb, tt, fl: (bb, 0, tt)),
+        ],
+        out_specs=pl.BlockSpec((1, f + 1, m_pad),
+                               lambda bb, tt, fl: (bb, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_sum_image_compact_kernel, chunk=chunk, hw=hw),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, f + 1, m_pad), jnp.float32),
+        interpret=interpret,
+    )(flags, data, idx[:, None, :])
+    out = jnp.swapaxes(out, 1, 2)[:, :hw]                    # [B, hw, F+1]
+    return out[..., :f], out[..., f]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def segment_sum_count_image_compact(data, idx, h: int, w: int,
+                                    tile: int = 512, chunk: int = 128,
+                                    compute_dtype=None,
+                                    interpret: bool = False):
+    """Compacting image-raster segment sum + counts.
+
+    ``[B,N,F] x [B,N] -> (sums [B,h*w,F], counts [B,h*w])``. Pixel ids are
+    ``y*w + x``; any id ``>= h*w`` routes the point out. Unlike the
+    top-K-compaction + :func:`segment_sum_image_fused` pipeline this needs
+    no host-side point reordering: each tile packs its valid rows to the
+    front in VMEM and accumulation skips chunks past the valid count, so
+    cost scales with the true valid fraction and no points are ever
+    dropped. ``compute_dtype=bf16`` runs the matmuls at the bf16 MXU rate
+    with f32 accumulation (one input rounding; counts stay exact).
+    """
+    return _segment_sum_count_image_compact_impl(
+        data, idx, h, w, tile, chunk, compute_dtype, interpret)
+
+
+def _sum_compact_fwd(data, idx, h, w, tile, chunk, compute_dtype, interpret):
+    out = _segment_sum_count_image_compact_impl(
+        data, idx, h, w, tile, chunk, compute_dtype, interpret)
+    return out, idx
+
+
+def _sum_compact_bwd(h, w, tile, chunk, compute_dtype, interpret, idx, g):
+    g_sums, _ = g          # counts carry no data gradient
+    if interpret:
+        num_segments = h * w
+        safe = jnp.clip(idx, 0, num_segments - 1).astype(jnp.int32)
+        gathered = jnp.take_along_axis(g_sums, safe[:, :, None], axis=1)
+        valid = (idx >= 0) & (idx < num_segments)
+        d_data = jnp.where(valid[:, :, None], gathered, 0.0)
+    else:
+        d_data = gather_rows_fused(g_sums, idx.astype(jnp.int32), tile)
+    return d_data, np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+segment_sum_count_image_compact.defvjp(_sum_compact_fwd, _sum_compact_bwd)
+
+
 def segment_mean_count_image_fused(data, idx, h: int, w: int,
                                    tile: int = 512, factored: bool = True,
                                    compute_dtype=None,
@@ -699,8 +884,38 @@ def segment_mean_count_image_fused(data, idx, h: int, w: int,
     Same contract as :func:`segment_mean_count_fused` with ``num_segments =
     h*w`` implied by the image extent (counts are accumulated in f32 even
     under ``compute_dtype=bf16`` — the ones channel and one-hot products are
-    exact, so counts are exact integers either way).
+    exact, so counts are exact integers either way). On the flat path the
+    ones column is appended inside the kernel (a host-side concat costs a
+    full [B, N, F+1] copy per step, measured ~0.56 ms/iteration); the
+    linear VJP is unchanged (counts carry no data gradient).
     """
+    if not factored:
+        @jax.custom_vjp
+        def _sum_count(d):
+            out = _segment_sum_image_impl(d, idx, h, w, tile, False,
+                                          compute_dtype, interpret,
+                                          append_ones=True)
+            return out[..., :-1], out[..., -1]
+
+        def _sc_fwd(d):
+            return _sum_count(d), None
+
+        def _sc_bwd(_, g):
+            g_sums, _g_counts = g
+            if interpret:
+                num_segments = h * w
+                safe = jnp.clip(idx, 0, num_segments - 1).astype(jnp.int32)
+                gathered = jnp.take_along_axis(g_sums, safe[:, :, None],
+                                               axis=1)
+                ok = (idx >= 0) & (idx < num_segments)
+                return (jnp.where(ok[:, :, None], gathered, 0.0),)
+            return (gather_rows_fused(g_sums, idx.astype(jnp.int32), tile),)
+
+        _sum_count.defvjp(_sc_fwd, _sc_bwd)
+        sums, counts = _sum_count(data)
+        means = sums / jnp.maximum(counts[..., None], 1.0)
+        return means, counts
+
     ones = jnp.ones(data.shape[:2] + (1,), data.dtype)
     aug = jnp.concatenate([data, ones], axis=-1)
     sums = segment_sum_image_fused(aug, idx, h, w, tile, factored,
@@ -708,3 +923,439 @@ def segment_mean_count_image_fused(data, idx, h: int, w: int,
     counts = sums[..., -1]
     means = sums[..., :-1] / jnp.maximum(counts[..., None], 1.0)
     return means, counts
+
+
+# --------------------------------------------------------------------------
+# Fused pointwise dense chain: L x (matmul + bias + LeakyReLU) with an
+# optional (projected or identity) residual and an optional running-max
+# epilogue, all over one VMEM round trip of the [B, N, C] tensor.
+#
+# The point stacks (MiniPointNet chains, ConvBNReLURes1D blocks, the
+# agent's 3-D state branch — reference models/PointNN.py:96-123,260-282,
+# models/CMRAgent.py:25-29,92-101) are memory-bound at 64-128 channels:
+# XLA fuses BN+activation into each matmul but still round-trips the
+# [B, 40960, C] tensor through HBM once per layer (measured at the ~920
+# GB/s roofline). Chaining the layers in VMEM reads the tensor once and
+# writes once — weights are tiny ([<=128, <=128]) and stay resident.
+# In eval mode BatchNorm folds into the preceding matmul's scale/bias
+# (callers fold; this kernel is BN-agnostic). Per-batch biases ([B, C])
+# carry the agent's pooled-broadcast contribution without materialising
+# the concat (models/agent.py:_SplitInputDense).
+# --------------------------------------------------------------------------
+
+def _leaky(x, slope: float):
+    return jnp.where(x >= 0, x, x * slope)
+
+
+def _chain_kernel(*refs, n_layers: int, slopes, residual: str,
+                  final_slope, out_max: bool, n_valid: int, tile: int):
+    # refs: x, [pooled], (w_i, b_i) x n_layers, [rw, rb], out, [mx]
+    it = iter(refs)
+    x_ref = next(it)
+    pooled_ref = next(it) if residual == "identity_split" else None
+    wbs = [(next(it), next(it)) for _ in range(n_layers)]
+    rw_ref = rb_ref = None
+    if residual == "proj":
+        rw_ref, rb_ref = next(it), next(it)
+    out_ref = next(it)
+    mx_ref = next(it) if out_max else None
+
+    x = x_ref[0]                                   # [T, C0] compute dtype
+    h = x
+    acc = None
+    for i, (w_ref, b_ref) in enumerate(wbs):
+        acc = jnp.dot(h, w_ref[...],
+                      preferred_element_type=jnp.float32)
+        acc = acc + b_ref[0, 0].astype(jnp.float32)  # this batch's bias row
+        if slopes[i] is not None:
+            acc = _leaky(acc, slopes[i])
+        h = acc.astype(x.dtype)
+    if residual == "proj":
+        s = jnp.dot(x, rw_ref[...], preferred_element_type=jnp.float32)
+        s = s + rb_ref[0, 0].astype(jnp.float32)
+        acc = acc + s
+    elif residual == "identity":
+        acc = acc + x.astype(jnp.float32)
+    elif residual == "identity_split":
+        # identity shortcut over the VIRTUAL concat([x, broadcast(pooled)])
+        # — the agent's last 3-D stage — without materialising it in HBM
+        prow = pooled_ref[0, 0].astype(jnp.float32)    # [P]
+        virt = jnp.concatenate(
+            [x.astype(jnp.float32),
+             jnp.broadcast_to(prow[None, :], (x.shape[0], prow.shape[0]))],
+            axis=1)
+        acc = acc + virt
+    if final_slope is not None:
+        acc = _leaky(acc, final_slope)
+    out = acc.astype(out_ref.dtype)
+    out_ref[0] = out
+
+    if out_max:
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            mx_ref[:] = jnp.full_like(mx_ref, -jnp.inf)
+
+        # padded rows (beyond the true N) must not contribute to the max
+        rows = t * tile + jax.lax.broadcasted_iota(
+            jnp.int32, acc.shape, 0)
+        masked = jnp.where(rows < n_valid, acc, -jnp.inf)
+        mx_ref[0] = jnp.maximum(mx_ref[0],
+                                jnp.max(masked, axis=0, keepdims=True))
+
+
+def _as_batch_bias(b, batch: int):
+    """Normalise a bias to [B, C] (per-batch rows ride a (1, C) block)."""
+    b = jnp.asarray(b)
+    if b.ndim == 1:
+        b = jnp.broadcast_to(b[None, :], (batch, b.shape[0]))
+    return b.astype(jnp.float32)
+
+
+def _dense_chain_reference(x, weights, biases, res_weight, res_bias,
+                           pooled=None, *,
+                           slopes, residual, final_slope, out_max):
+    """Pure-jnp mirror of the kernel (same dtype flow); backs the VJP."""
+    b = x.shape[0]
+    h = x
+    acc = None
+    for i, (w, bias) in enumerate(zip(weights, biases)):
+        acc = jnp.einsum("bnc,cd->bnd", h, w.astype(h.dtype),
+                         preferred_element_type=jnp.float32)
+        acc = acc + _as_batch_bias(bias, b)[:, None, :]
+        if slopes[i] is not None:
+            acc = _leaky(acc, slopes[i])
+        h = acc.astype(x.dtype)
+    if residual == "proj":
+        s = jnp.einsum("bnc,cd->bnd", x, res_weight.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        s = s + _as_batch_bias(res_bias, b)[:, None, :]
+        acc = acc + s
+    elif residual == "identity":
+        acc = acc + x.astype(jnp.float32)
+    elif residual == "identity_split":
+        virt = jnp.concatenate(
+            [x.astype(jnp.float32),
+             jnp.broadcast_to(pooled.astype(jnp.float32)[:, None, :],
+                              (b, x.shape[1], pooled.shape[-1]))], axis=-1)
+        acc = acc + virt
+    if final_slope is not None:
+        acc = _leaky(acc, final_slope)
+    out = acc.astype(x.dtype)
+    if out_max:
+        return out, jnp.max(acc, axis=1).astype(x.dtype)
+    return out
+
+
+def _dense_chain_impl(x, weights, biases, res_weight, res_bias, pooled,
+                      slopes, residual, final_slope, out_max, tile,
+                      interpret):
+    b, n, c0 = x.shape
+    n_layers = len(weights)
+    c_out = weights[-1].shape[-1]
+    if residual == "identity" and c0 != c_out:
+        raise ValueError(f"identity residual needs C_in == C_out, got "
+                         f"{c0} vs {c_out}")
+    if residual == "identity_split":
+        if pooled is None or c0 + pooled.shape[-1] != c_out:
+            raise ValueError("identity_split needs pooled with "
+                             "C_in + P == C_out")
+    tile = min(tile, _round_up(n, 8))
+    n_pad = _round_up(n, tile)
+    if n_pad != n:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    operands = [x]
+    in_specs = [pl.BlockSpec((1, tile, c0), lambda bb, tt: (bb, tt, 0))]
+    if residual == "identity_split":
+        pooled3 = pooled.astype(x.dtype)[:, None, :]        # [B, 1, P]
+        operands.append(pooled3)
+        in_specs.append(
+            pl.BlockSpec((1, 1, pooled3.shape[-1]),
+                         lambda bb, tt: (bb, 0, 0)))
+
+    def add_wb(w, bias):
+        w = jnp.asarray(w).astype(x.dtype)
+        operands.append(w)
+        in_specs.append(pl.BlockSpec(w.shape, lambda bb, tt: (0, 0)))
+        bb_ = _as_batch_bias(bias, b)[:, None, :]           # [B, 1, C]
+        operands.append(bb_)
+        in_specs.append(
+            pl.BlockSpec((1, 1, bb_.shape[-1]), lambda bb, tt: (bb, 0, 0)))
+
+    for w, bias in zip(weights, biases):
+        add_wb(w, bias)
+    if residual == "proj":
+        add_wb(res_weight, res_bias)
+
+    out_shapes = [jax.ShapeDtypeStruct((b, n_pad, c_out), x.dtype)]
+    out_specs = [pl.BlockSpec((1, tile, c_out), lambda bb, tt: (bb, tt, 0))]
+    if out_max:
+        out_shapes.append(jax.ShapeDtypeStruct((b, 1, c_out), x.dtype))
+        out_specs.append(
+            pl.BlockSpec((1, 1, c_out), lambda bb, tt: (bb, 0, 0)))
+
+    res = pl.pallas_call(
+        functools.partial(_chain_kernel, n_layers=n_layers, slopes=slopes,
+                          residual=residual, final_slope=final_slope,
+                          out_max=out_max, n_valid=n, tile=tile),
+        grid=(b, n_pad // tile),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",
+                                 "arbitrary" if out_max else "parallel")),
+        interpret=interpret,
+    )(*operands)
+    if out_max:
+        return res[0][:, :n], res[1][:, 0]
+    return res[0][:, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def fused_dense_chain(x, weights, biases, res_weight=None, res_bias=None,
+                      pooled=None, slopes=(), residual="none",
+                      final_slope=None, out_max: bool = False,
+                      tile: int = 4096, interpret: bool = False):
+    """Fused L-layer pointwise chain over ``x [B, N, C0]``.
+
+    ``y_i = leaky(y_{i-1} @ W_i + b_i, slopes[i])`` (``slopes[i] = None``
+    skips the activation); optional residual from the input added to the
+    final pre-activation (``residual`` in {"none", "identity", "proj"};
+    "proj" uses ``res_weight/res_bias``), then ``final_slope`` activation.
+    Biases may be ``[C]`` or per-batch ``[B, C]`` (the pooled-broadcast
+    trick). With ``out_max`` also returns the per-batch channel max over
+    the N axis (the agent's global pooling) accumulated in VMEM.
+
+    Matmuls accumulate in f32 and inter-layer activations round to
+    ``x.dtype`` — the same rounding points as the unfused
+    Dense -> BatchNorm(f32) -> cast chain. The backward recomputes through
+    the pure-jnp reference (the kernel is used in eval/rollout paths;
+    training takes the unfused batch-stat path anyway).
+    """
+    return _dense_chain_impl(x, weights, biases, res_weight, res_bias,
+                             pooled, slopes, residual, final_slope,
+                             out_max, tile, interpret)
+
+
+def _chain_fwd(x, weights, biases, res_weight, res_bias, pooled, slopes,
+               residual, final_slope, out_max, tile, interpret):
+    out = _dense_chain_impl(x, weights, biases, res_weight, res_bias,
+                            pooled, slopes, residual, final_slope, out_max,
+                            tile, interpret)
+    return out, (x, weights, biases, res_weight, res_bias, pooled)
+
+
+def _chain_bwd(slopes, residual, final_slope, out_max, tile, interpret,
+               saved, g):
+    x, weights, biases, res_weight, res_bias, pooled = saved
+    ref = functools.partial(_dense_chain_reference, slopes=slopes,
+                            residual=residual, final_slope=final_slope,
+                            out_max=out_max)
+    _, vjp = jax.vjp(ref, x, weights, biases, res_weight, res_bias, pooled)
+    return vjp(g)
+
+
+fused_dense_chain.defvjp(_chain_fwd, _chain_bwd)
+
+
+# --------------------------------------------------------------------------
+# Channel-major fused dense chain: same computation as fused_dense_chain on
+# a TRANSPOSED [B, C, N] tensor. XLA's TPU layout pads the minormost dim to
+# 128 lanes, so every [B, N, 64]-ish stack tensor costs 2x its logical
+# bytes (and [B, N, 5] observations cost 25x). With channels on the
+# sublanes and points on the lanes the physical footprint equals the
+# logical one — the agent's 3-D stack streams at the true roofline.
+# --------------------------------------------------------------------------
+
+def _chain_cn_kernel(*refs, n_layers: int, slopes, residual: str,
+                     final_slope, out_max: bool, n_valid: int, tile: int):
+    # refs: x, [pooled], (w_i, b_i) x n_layers, [rw, rb], out, [mx]
+    it = iter(refs)
+    x_ref = next(it)
+    pooled_ref = next(it) if residual == "identity_split" else None
+    wbs = [(next(it), next(it)) for _ in range(n_layers)]
+    rw_ref = rb_ref = None
+    if residual == "proj":
+        rw_ref, rb_ref = next(it), next(it)
+    out_ref = next(it)
+    mx_ref = next(it) if out_max else None
+
+    x = x_ref[0]                                   # [Cin, T] compute dtype
+    h = x
+    acc = None
+    for i, (w_ref, b_ref) in enumerate(wbs):
+        # [Cin, Cout]^T @ [Cin, T] -> [Cout, T] (native transposed LHS)
+        acc = _contractT(w_ref[...], h)
+        acc = acc + b_ref[0].astype(jnp.float32)   # [Cout, 1] broadcast
+        if slopes[i] is not None:
+            acc = _leaky(acc, slopes[i])
+        h = acc.astype(x.dtype)
+    if residual == "proj":
+        s = _contractT(rw_ref[...], x) + rb_ref[0].astype(jnp.float32)
+        acc = acc + s
+    elif residual == "identity":
+        acc = acc + x.astype(jnp.float32)
+    elif residual == "identity_split":
+        prow = pooled_ref[0].astype(jnp.float32)   # [P, 1]
+        virt = jnp.concatenate(
+            [x.astype(jnp.float32),
+             jnp.broadcast_to(prow, (prow.shape[0], x.shape[1]))], axis=0)
+        acc = acc + virt
+    if final_slope is not None:
+        acc = _leaky(acc, final_slope)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+    if out_max:
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            mx_ref[:] = jnp.full_like(mx_ref, -jnp.inf)
+
+        cols = t * tile + jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+        masked = jnp.where(cols < n_valid, acc, -jnp.inf)
+        mx_ref[0] = jnp.maximum(mx_ref[0],
+                                jnp.max(masked, axis=1, keepdims=True))
+
+
+def _dense_chain_cn_reference(x, weights, biases, res_weight, res_bias,
+                              pooled=None, *,
+                              slopes, residual, final_slope, out_max):
+    """Pure-jnp mirror of the cn kernel ([B, C, N]); backs the VJP."""
+    b = x.shape[0]
+    col = lambda v: _as_batch_bias(v, b)[:, :, None]         # [B, C, 1]
+    h = x
+    acc = None
+    for i, (w, bias) in enumerate(zip(weights, biases)):
+        acc = jnp.einsum("cd,bcn->bdn", w.astype(h.dtype), h,
+                         preferred_element_type=jnp.float32)
+        acc = acc + col(bias)
+        if slopes[i] is not None:
+            acc = _leaky(acc, slopes[i])
+        h = acc.astype(x.dtype)
+    if residual == "proj":
+        s = jnp.einsum("cd,bcn->bdn", res_weight.astype(x.dtype), x,
+                       preferred_element_type=jnp.float32)
+        acc = acc + s + col(res_bias)
+    elif residual == "identity":
+        acc = acc + x.astype(jnp.float32)
+    elif residual == "identity_split":
+        virt = jnp.concatenate(
+            [x.astype(jnp.float32),
+             jnp.broadcast_to(pooled.astype(jnp.float32)[:, :, None],
+                              (b, pooled.shape[-1], x.shape[-1]))], axis=1)
+        acc = acc + virt
+    if final_slope is not None:
+        acc = _leaky(acc, final_slope)
+    out = acc.astype(x.dtype)
+    if out_max:
+        return out, jnp.max(acc, axis=2).astype(x.dtype)
+    return out
+
+
+def _dense_chain_cn_impl(x, weights, biases, res_weight, res_bias, pooled,
+                         slopes, residual, final_slope, out_max, tile,
+                         interpret):
+    b, c0, n = x.shape
+    n_layers = len(weights)
+    c_out = weights[-1].shape[-1]
+    if residual == "identity" and c0 != c_out:
+        raise ValueError(f"identity residual needs C_in == C_out, got "
+                         f"{c0} vs {c_out}")
+    if residual == "identity_split":
+        if pooled is None or c0 + pooled.shape[-1] != c_out:
+            raise ValueError("identity_split needs pooled with "
+                             "C_in + P == C_out")
+    tile = min(tile, _round_up(n, 128))
+    n_pad = _round_up(n, tile)
+    if n_pad != n:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - n)))
+
+    operands = [x]
+    in_specs = [pl.BlockSpec((1, c0, tile), lambda bb, tt: (bb, 0, tt))]
+    if residual == "identity_split":
+        pooled3 = pooled.astype(x.dtype)[:, :, None]        # [B, P, 1]
+        operands.append(pooled3)
+        in_specs.append(
+            pl.BlockSpec((1, pooled3.shape[1], 1),
+                         lambda bb, tt: (bb, 0, 0)))
+
+    def add_wb(w, bias):
+        w = jnp.asarray(w).astype(x.dtype)
+        operands.append(w)
+        in_specs.append(pl.BlockSpec(w.shape, lambda bb, tt: (0, 0)))
+        bb_ = _as_batch_bias(bias, b)[:, :, None]           # [B, C, 1]
+        operands.append(bb_)
+        in_specs.append(
+            pl.BlockSpec((1, bb_.shape[1], 1), lambda bb, tt: (bb, 0, 0)))
+
+    for w, bias in zip(weights, biases):
+        add_wb(w, bias)
+    if residual == "proj":
+        add_wb(res_weight, res_bias)
+
+    out_shapes = [jax.ShapeDtypeStruct((b, c_out, n_pad), x.dtype)]
+    out_specs = [pl.BlockSpec((1, c_out, tile), lambda bb, tt: (bb, 0, tt))]
+    if out_max:
+        out_shapes.append(jax.ShapeDtypeStruct((b, c_out, 1), x.dtype))
+        out_specs.append(
+            pl.BlockSpec((1, c_out, 1), lambda bb, tt: (bb, 0, 0)))
+
+    res = pl.pallas_call(
+        functools.partial(_chain_cn_kernel, n_layers=n_layers,
+                          slopes=slopes, residual=residual,
+                          final_slope=final_slope, out_max=out_max,
+                          n_valid=n, tile=tile),
+        grid=(b, n_pad // tile),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",
+                                 "arbitrary" if out_max else "parallel")),
+        interpret=interpret,
+    )(*operands)
+    if out_max:
+        return res[0][:, :, :n], res[1][:, :, 0]
+    return res[0][:, :, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def fused_dense_chain_cn(x, weights, biases, res_weight=None, res_bias=None,
+                         pooled=None, slopes=(), residual="none",
+                         final_slope=None, out_max: bool = False,
+                         tile: int = 4096, interpret: bool = False):
+    """Channel-major fused dense chain over ``x [B, C0, N]``.
+
+    Same contract as :func:`fused_dense_chain` with the point axis on the
+    LANES: ``y_i^T = W_i^T @ y_{i-1}^T + b_i``, biases broadcast along
+    points, residual/``identity_split``/``out_max`` as in the row-major
+    variant (``out_max`` reduces over the N axis and returns ``[B, C]``).
+    """
+    return _dense_chain_cn_impl(x, weights, biases, res_weight, res_bias,
+                                pooled, slopes, residual, final_slope,
+                                out_max, tile, interpret)
+
+
+def _chain_cn_fwd(x, weights, biases, res_weight, res_bias, pooled, slopes,
+                  residual, final_slope, out_max, tile, interpret):
+    out = _dense_chain_cn_impl(x, weights, biases, res_weight, res_bias,
+                               pooled, slopes, residual, final_slope,
+                               out_max, tile, interpret)
+    return out, (x, weights, biases, res_weight, res_bias, pooled)
+
+
+def _chain_cn_bwd(slopes, residual, final_slope, out_max, tile, interpret,
+                  saved, g):
+    x, weights, biases, res_weight, res_bias, pooled = saved
+    ref = functools.partial(_dense_chain_cn_reference, slopes=slopes,
+                            residual=residual, final_slope=final_slope,
+                            out_max=out_max)
+    _, vjp = jax.vjp(ref, x, weights, biases, res_weight, res_bias, pooled)
+    return vjp(g)
+
+
+fused_dense_chain_cn.defvjp(_chain_cn_fwd, _chain_cn_bwd)

@@ -134,7 +134,8 @@ def batched_segment_softmax_attend(attn: jnp.ndarray, values: jnp.ndarray,
 def scatter_mean_image(feat: jnp.ndarray, pixel_ids: jnp.ndarray,
                        valid: jnp.ndarray, h: int, w: int,
                        via: str = "auto", use_pallas=None,
-                       compute_dtype=None) -> jnp.ndarray:
+                       compute_dtype=None,
+                       mode: str = "flat") -> jnp.ndarray:
     """Rasterise per-point features into an HxW mean image.
 
     Batched, static-shape equivalent of the reference's per-sample Python
@@ -151,6 +152,12 @@ def scatter_mean_image(feat: jnp.ndarray, pixel_ids: jnp.ndarray,
       compute_dtype: optional kernel operand dtype (``jnp.bfloat16`` runs
                  the one-hot matmul at the bf16 MXU rate; accumulation
                  stays f32, so only the inputs are rounded once).
+      mode: "flat" (default) = whole-tile dead gating only (fastest on
+                 pre-compacted valid-first layouts); "compact" = in-kernel
+                 valid-first compaction per point tile — no host-side
+                 reordering needed, cost scales with the true valid
+                 fraction (see Config.raster_mode for the trade).
+                 TPU only; the XLA path ignores it.
 
     Returns:
       ``[B, h, w, F]`` mean-pooled features (0 where no point lands).
@@ -158,18 +165,24 @@ def scatter_mean_image(feat: jnp.ndarray, pixel_ids: jnp.ndarray,
     pad = h * w
     ids = jnp.where(valid, pixel_ids, pad).astype(jnp.int32)
     from .pallas_kernels import (segment_mean_count_image_fused,
+                                 segment_sum_count_image_compact,
                                  use_pallas_default)
     if use_pallas_default(use_pallas):
         # invalid points carry id == h*w == num_segments -> routed out.
-        # Image-raster kernel: dead point tiles (the compacted episode
-        # layout sorts valid points first) are skipped via a scalar-
-        # prefetch gate; ``compute_dtype=bf16`` runs the one-hot matmul
-        # in bf16 with f32 accumulation (tools/raster_probe.py: 1.11x at
-        # full validity, 1.45x/2.0x at 50%/25% — the factored hi/lo
-        # one-hot measured SLOWER except below ~25% validity; rejected).
-        pooled, _ = segment_mean_count_image_fused(
-            feat, ids, h, w, tile=512, factored=False,
-            compute_dtype=compute_dtype)
+        if mode == "compact":
+            sums, counts = segment_sum_count_image_compact(
+                feat, ids, h, w, tile=512, compute_dtype=compute_dtype)
+            pooled = sums / jnp.maximum(counts[..., None], 1.0)
+        else:
+            # Flat image-raster kernel: dead point tiles (a pre-compacted
+            # valid-first layout) are skipped via a scalar-prefetch gate;
+            # ``compute_dtype=bf16`` runs the one-hot matmul in bf16 with
+            # f32 accumulation (tools/raster_probe.py: 1.11x at full
+            # validity, 1.45x/2.0x at 50%/25% — the factored hi/lo one-hot
+            # measured SLOWER except below ~25% validity; rejected).
+            pooled, _ = segment_mean_count_image_fused(
+                feat, ids, h, w, tile=512, factored=False,
+                compute_dtype=compute_dtype)
     else:
         pooled = batched_segment_mean(feat, ids, pad + 1, via)[:, :pad, :]
     return pooled.reshape(feat.shape[0], h, w, feat.shape[-1])

@@ -10,7 +10,12 @@ estimates:
   flat    segment_mean_count_image_fused — same one-hot, plus dead-tile
           skipping (scalar-prefetch gate) [f32 | bf16];
   fact    factored hi/lo one-hot (one [T,128] column one-hot + per-row
-          data gates: ~2x less VPU vreg traffic) [f32 | bf16].
+          data gates: ~2x less VPU vreg traffic) [f32 | bf16];
+  comp    in-kernel valid-first compaction + 128-row chunk gating
+          (segment_sum_count_image_compact) [f32 | bf16] — no host-side
+          reordering needed; measure with --scattered to model the
+          per-step pose-dependent validity the global top-K path cannot
+          compact for.
 
 ``--valid-frac`` emulates compact_observation_state's contiguous invalid
 tail (sorted valid-first), which is what makes whole tiles dead. Run on
@@ -60,7 +65,8 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     from cmr_agent_tpu.ops.pallas_kernels import (
-        segment_mean_count_fused, segment_mean_count_image_fused)
+        segment_mean_count_fused, segment_mean_count_image_fused,
+        segment_sum_count_image_compact)
 
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
@@ -72,6 +78,9 @@ def main(argv=None):
     p.add_argument("--valid-frac", type=float, default=1.0,
                    help="leading fraction of points with in-image ids; the "
                         "tail is routed out (the compacted-episode layout)")
+    p.add_argument("--scattered", action="store_true",
+                   help="scatter the valid points uniformly instead of "
+                        "valid-first (the uncompacted per-step layout)")
     p.add_argument("--tile", type=int, default=512)
     p.add_argument("--iters", type=int, default=50)
     args = p.parse_args(argv)
@@ -81,7 +90,12 @@ def main(argv=None):
     m = args.h * args.w
     n_valid = int(args.n * args.valid_frac)
     idx_np = np.full((args.batch, args.n), m, np.int32)
-    idx_np[:, :n_valid] = rng.integers(0, m, size=(args.batch, n_valid))
+    if args.scattered:
+        for b in range(args.batch):
+            sel = rng.choice(args.n, size=n_valid, replace=False)
+            idx_np[b, sel] = rng.integers(0, m, size=n_valid)
+    else:
+        idx_np[:, :n_valid] = rng.integers(0, m, size=(args.batch, n_valid))
     feat = jnp.asarray(rng.normal(size=(args.batch, args.n, args.f)),
                        jnp.float32)
     idx = jnp.asarray(idx_np)
@@ -100,12 +114,22 @@ def main(argv=None):
             return out
         return fn
 
+    def compact(dtype):
+        def fn(f_, i_, shift):
+            sums, counts = segment_sum_count_image_compact(
+                f_ + shift, i_, args.h, args.w, args.tile,
+                compute_dtype=dtype)
+            return sums / jnp.maximum(counts[..., None], 1.0)
+        return fn
+
     cases = {
         "base": base,
         "flat_f32": image(False, None),
         "flat_bf16": image(False, jnp.bfloat16),
         "fact_f32": image(True, None),
         "fact_bf16": image(True, jnp.bfloat16),
+        "comp_f32": compact(None),
+        "comp_bf16": compact(jnp.bfloat16),
     }
     ms = {}
     for name, fn in cases.items():

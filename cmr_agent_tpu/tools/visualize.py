@@ -180,7 +180,8 @@ def run_and_render(cfg, batch, out_dir: str, policy: str = "expert",
                     state, jnp.asarray(pose), cfg.image_h, cfg.image_w,
                     use_pallas=cfg.use_pallas,
                     pose_aware=cfg.pose_aware_observation,
-                    bearing_channels=cfg.obs_bearing_channels)
+                    bearing_channels=cfg.obs_bearing_channels,
+                    raster_mode=cfg.raster_mode)
                 rl, tl, _ = apply_fn(avars, obs2d, obs3d)
                 ar = jnp.argmax(rl, axis=-1)
                 at = jnp.argmax(tl, axis=-1)

@@ -89,7 +89,7 @@ def export_episode(cfg: Config, agent_variables: Dict,
         def apply_fn(avars, o2, o3):
             return agent.apply(avars, o2, o3, train=False)
 
-        topk = cfg.raster_topk if 0 < cfg.raster_topk < cfg.num_pt else None
+        topk = cfg.episode_raster_topk()
         final, _ = run_episode(apply_fn, agent_variables, state, pose_src,
                                None, cfg, deterministic=True,
                                raster_topk=topk)
@@ -215,7 +215,7 @@ def export_composed_pipeline(cfg: Config, geo_variables: Dict,
         def apply_fn(avars, o2, o3):
             return agent.apply(avars, o2, o3, train=False)
 
-        topk = cfg.raster_topk if 0 < cfg.raster_topk < cfg.num_pt else None
+        topk = cfg.episode_raster_topk()
         final, _ = run_episode(apply_fn, agent_variables, state_k, pose_src,
                                None, cfg, deterministic=True,
                                raster_topk=topk)

@@ -90,7 +90,7 @@ def make_rollout_fn(cfg: Config, reward_apply_pose: bool = True):
 
         avars = {"params": agent_state.params,
                  "batch_stats": agent_state.batch_stats}
-        topk = cfg.raster_topk if 0 < cfg.raster_topk < cfg.num_pt else None
+        topk = cfg.episode_raster_topk()
         final, traj = run_episode(
             apply_fn, avars, state, pose_src, pose_tgt, cfg,
             deterministic=False, key=key, with_expert=True,
@@ -190,7 +190,7 @@ def make_val_episode_fn(cfg: Config):
 
         avars = {"params": agent_state.params,
                  "batch_stats": agent_state.batch_stats}
-        topk = cfg.raster_topk if 0 < cfg.raster_topk < cfg.num_pt else None
+        topk = cfg.episode_raster_topk()
         final, _ = run_episode(apply_fn, avars, state, pose_src, pose_tgt,
                                cfg, deterministic=True, raster_topk=topk)
         rte, rre = pose_diff(final, pose_tgt)

@@ -238,3 +238,85 @@ def test_segment_sum_image_fused_gradient():
         g = jax.grad(lambda d: loss(d, factored))(data)
         np.testing.assert_allclose(np.asarray(g[0]), want,
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_segment_sum_count_image_compact():
+    """Compacting raster kernel vs a dense oracle: mixed/dead/full tiles,
+    partial chunks, bf16 operands, and the ids-exactness path."""
+    from cmr_agent_tpu.ops.pallas_kernels import (
+        segment_sum_count_image_compact)
+    rng = np.random.default_rng(21)
+    for (h, w) in [(5, 16), (7, 11)]:
+        b, n, f, m = 2, 300, 6, h * w
+        data = jnp.array(rng.normal(size=(b, n, f)), jnp.float32)
+        idx = np.asarray(rng.integers(0, m + 1, size=(b, n)), np.int32)
+        idx[:, 128:256] = m           # tile 1 fully dead (tile=128 below)
+        idx[0, :32] = m               # partial chunk at a tile front
+        idx[1, :128] = np.arange(128) % m   # tile 0 fully valid
+        idx = jnp.asarray(idx)
+
+        want = np.zeros((b, m, f))
+        cnt = np.zeros((b, m))
+        for bb in range(b):
+            for i in range(n):
+                if idx[bb, i] < m:
+                    want[bb, idx[bb, i]] += np.asarray(data[bb, i])
+                    cnt[bb, idx[bb, i]] += 1
+
+        sums, counts = segment_sum_count_image_compact(
+            data, idx, h, w, tile=128, chunk=32, interpret=True)
+        np.testing.assert_allclose(np.asarray(sums), want,
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(counts), cnt)
+
+        sums16, counts16 = segment_sum_count_image_compact(
+            data, idx, h, w, tile=128, chunk=32,
+            compute_dtype=jnp.bfloat16, interpret=True)
+        # bf16 rounds the inputs once; counts stay exact integers
+        np.testing.assert_allclose(np.asarray(sums16), want,
+                                   rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(counts16), cnt)
+
+
+def test_segment_sum_count_image_compact_gradient():
+    from cmr_agent_tpu.ops.pallas_kernels import (
+        segment_sum_count_image_compact)
+    rng = np.random.default_rng(22)
+    h, w = 4, 8
+    data = jnp.array(rng.normal(size=(1, 100, 4)), jnp.float32)
+    idx = jnp.array(rng.integers(0, h * w + 1, size=(1, 100)), jnp.int32)
+
+    def loss(d):
+        sums, counts = segment_sum_count_image_compact(
+            d, idx, h, w, tile=64, chunk=32, interpret=True)
+        return jnp.sum(sums ** 2) + jnp.sum(counts)
+
+    out = np.zeros((h * w, 4))
+    for i in range(100):
+        if idx[0, i] < h * w:
+            out[idx[0, i]] += np.asarray(data[0, i])
+    want = np.zeros((100, 4))
+    for i in range(100):
+        if idx[0, i] < h * w:
+            want[i] = 2 * out[idx[0, i]]   # counts carry no data gradient
+    g = jax.grad(loss)(data)
+    np.testing.assert_allclose(np.asarray(g[0]), want, rtol=1e-4, atol=1e-4)
+
+
+def test_scatter_mean_image_compact_mode_matches_xla():
+    """scatter_mean_image(mode='compact') == the XLA segment path."""
+    from cmr_agent_tpu.ops.pallas_kernels import (
+        segment_sum_count_image_compact)
+    from cmr_agent_tpu.ops.scatter import scatter_mean_image
+    rng = np.random.default_rng(23)
+    b, n, f, h, w = 2, 200, 5, 4, 10
+    feat = jnp.array(rng.normal(size=(b, n, f)), jnp.float32)
+    pix = jnp.array(rng.integers(0, h * w, size=(b, n)), jnp.int32)
+    valid = jnp.array(rng.random((b, n)) < 0.5)
+    want = scatter_mean_image(feat, pix, valid, h, w, use_pallas=False)
+    ids = jnp.where(valid, pix, h * w).astype(jnp.int32)
+    sums, counts = segment_sum_count_image_compact(
+        feat, ids, h, w, tile=64, chunk=32, interpret=True)
+    got = (sums / jnp.maximum(counts[..., None], 1.0)).reshape(b, h, w, f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

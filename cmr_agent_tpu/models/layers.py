@@ -139,15 +139,25 @@ def fold_dense_bn(kernel, bias, scale, bn_bias, mean, var,
 def fused_stack_mode(use_pallas, train: bool):
     """Route a pointwise stack to the fused eval kernel?
 
-    Returns ``None`` (unfused — training, or non-TPU backends),
-    ``"compiled"`` (TPU eval) or ``"interpret"`` (CPU tests force the
+    Returns ``None`` (unfused — the default), ``"compiled"`` (TPU eval
+    with ``CMR_FUSED_STACKS=1``) or ``"interpret"`` (CPU tests force the
     fused branch via ``CMR_FUSED_STACK_INTERPRET=1``).
+
+    Default OFF (measured reject, round 3): end-to-end the fused chains +
+    channel-major episode measured 149.2 pairs/s vs 157.4 for the plain
+    XLA eval stacks under identical same-day conditions (bench.py, B=8
+    bf16, median of 5 blocks each) — the Pallas calls are fusion barriers
+    that cost more than the saved inter-layer HBM round trips at these
+    shapes. The kernels stay as an opt-in study surface; the routing
+    remains gated on ``use_pallas`` so non-TPU backends never take it.
     """
     if train:
         return None
     import os
     if os.environ.get("CMR_FUSED_STACK_INTERPRET") == "1":
         return "interpret"
+    if os.environ.get("CMR_FUSED_STACKS") != "1":
+        return None
     from ..ops.pallas_kernels import use_pallas_default
     return "compiled" if use_pallas_default(use_pallas) else None
 

@@ -126,20 +126,30 @@ def time_backend(device, cfg, batch_size: int, iters: int, warmup: int,
         # numerically negligible (~1e-11) but not removable by the compiler
         return jnp.mean(final) * 1e-12
 
+    # Phase breadcrumbs: a wedged remote grant/compile service stalls with
+    # no output otherwise (observed: 20 min of silence after device
+    # listing) — the last line printed tells the caller WHICH phase hung.
+    t_p = time.perf_counter()
+    phase = lambda m: log(f"[bench +{time.perf_counter() - t_p:.0f}s] {m}")
     with jax.default_device(device):
+        phase(f"device_put batch on {device.platform}")
         batch = {k: jax.device_put(jnp.asarray(v), device)
                  for k, v in batch_np.items()}
+        phase("init model/agent variables (first device compile)")
         gv, av = build_vars(batch)
         zero = jnp.zeros((), jnp.float32)
         t_c0 = time.perf_counter()
+        phase("compile episode program")
         compiled = jax.jit(step).lower(gv, av, batch, zero).compile()
         try:
             ca = compiled.cost_analysis()
             cost = ca[0] if isinstance(ca, (list, tuple)) else ca
         except Exception:
             cost = None
+        phase("first execution")
         float(compiled(gv, av, batch, zero))  # readback = real execution
         compile_s = time.perf_counter() - t_c0
+        phase(f"warmup + {repeats} timed blocks")
         shift = zero
         for _ in range(warmup):
             shift = compiled(gv, av, batch, shift)
@@ -193,6 +203,8 @@ def main():
     tpu_devices = [d for d in jax.devices() if d.platform != "cpu"]
     cpu_devices = jax.devices("cpu")
     init_done.set()
+    log(f"devices listed: {[d.device_kind for d in tpu_devices]} "
+        f"+ {len(cpu_devices)} cpu")
 
     if tpu_devices:
         dev = tpu_devices[0]

@@ -59,6 +59,34 @@ SEMANTIC_KITTI_COLOR_MAP = {
     257: (250, 80, 100), 258: (180, 30, 80), 259: (255, 0, 0),
 }
 
+# nuScenes-lidarseg raw id -> name (public dataset metadata; the
+# reference's config/label_mapping/nuscenes.yaml ``labels`` key).
+NUSCENES_LABELS = {
+    0: "noise", 1: "animal", 2: "human.pedestrian.adult",
+    3: "human.pedestrian.child", 4: "human.pedestrian.construction_worker",
+    5: "human.pedestrian.personal_mobility",
+    6: "human.pedestrian.police_officer", 7: "human.pedestrian.stroller",
+    8: "human.pedestrian.wheelchair", 9: "movable_object.barrier",
+    10: "movable_object.debris", 11: "movable_object.pushable_pullable",
+    12: "movable_object.trafficcone", 13: "static_object.bicycle_rack",
+    14: "vehicle.bicycle", 15: "vehicle.bus.bendy", 16: "vehicle.bus.rigid",
+    17: "vehicle.car", 18: "vehicle.construction",
+    19: "vehicle.emergency.ambulance", 20: "vehicle.emergency.police",
+    21: "vehicle.motorcycle", 22: "vehicle.trailer", 23: "vehicle.truck",
+    24: "flat.driveable_surface", 25: "flat.other", 26: "flat.sidewalk",
+    27: "flat.terrain", 28: "static.manmade", 29: "static.other",
+    30: "static.vegetation", 31: "vehicle.ego",
+}
+
+# Learning id -> name for the 16-class task (``labels_16`` key).
+NUSCENES_LABELS_16 = {
+    0: "noise", 1: "barrier", 2: "bicycle", 3: "bus", 4: "car",
+    5: "construction_vehicle", 6: "motorcycle", 7: "pedestrian",
+    8: "traffic_cone", 9: "trailer", 10: "truck", 11: "driveable_surface",
+    12: "other_flat", 13: "sidewalk", 14: "terrain", 15: "manmade",
+    16: "vegetation",
+}
+
 # nuScenes-lidarseg raw id -> 16-class learning id (public standard).
 NUSCENES_LEARNING_MAP = {
     0: 0, 1: 0, 2: 7, 3: 7, 4: 7, 5: 0, 6: 7, 7: 0, 8: 0, 9: 1, 10: 0,
@@ -81,5 +109,9 @@ def load_label_mapping(name: str) -> dict:
             "split": SEMANTIC_KITTI_SPLIT,
         }
     if name == "nuscenes":
-        return {"learning_map": NUSCENES_LEARNING_MAP}
+        return {
+            "labels": NUSCENES_LABELS,
+            "labels_16": NUSCENES_LABELS_16,
+            "learning_map": NUSCENES_LEARNING_MAP,
+        }
     raise ValueError(f"unknown label mapping {name!r}")

@@ -154,12 +154,17 @@ def fused_stack_mode(use_pallas, train: bool):
     if train:
         return None
     import os
-    if os.environ.get("CMR_FUSED_STACK_INTERPRET") == "1":
+    from ..ops.pallas_kernels import use_pallas_default
+    on_tpu = use_pallas_default(use_pallas)
+    if os.environ.get("CMR_FUSED_STACK_INTERPRET") == "1" and not on_tpu:
+        # Test-only hook: exercises the fused branch under the Pallas
+        # interpreter on CPU. Ignored on TPU so a stray env var in a
+        # serving config can never silently force slow interpret-mode
+        # kernels there; use CMR_FUSED_STACKS=1 for the compiled path.
         return "interpret"
     if os.environ.get("CMR_FUSED_STACKS") != "1":
         return None
-    from ..ops.pallas_kernels import use_pallas_default
-    return "compiled" if use_pallas_default(use_pallas) else None
+    return "compiled" if on_tpu else None
 
 
 class MiniPointNet(nn.Module):

@@ -159,7 +159,33 @@ def test_label_mapping():
     assert m["learning_map_inv"][1] == 10
     assert m["learning_ignore"][0] is True
     assert 8 in m["split"]["valid"]
-    assert load_label_mapping("nuscenes")["learning_map"][9] == 1
+    n = load_label_mapping("nuscenes")
+    assert set(n) == {"labels", "labels_16", "learning_map"}
+    assert n["learning_map"][9] == 1
+    assert n["labels"][17] == "vehicle.car"
+    assert n["labels_16"][4] == "car"
+    # every raw id has a name and a learning id; every learning id a name
+    assert set(n["learning_map"]) == set(n["labels"]) == set(range(32))
+    assert set(n["learning_map"].values()) == set(n["labels_16"])
+
+
+def test_nuscenes_label_mapping_matches_reference_yaml():
+    """Key-for-key parity with /root/reference/config/label_mapping/
+    nuscenes.yaml (SURVEY.md §2.1)."""
+    import os
+    path = os.path.join(
+        os.environ.get("CMR_REFERENCE_ROOT", "/root/reference"),
+        "config", "label_mapping", "nuscenes.yaml")
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("reference yaml not available")
+    import yaml
+    with open(path) as f:
+        ref = yaml.safe_load(f)
+    ours = load_label_mapping("nuscenes")
+    assert set(ours) == set(ref)
+    for key in ref:
+        assert ours[key] == ref[key], f"mismatch in {key}"
 
 
 def test_process_pool_loader_matches_thread_loader():

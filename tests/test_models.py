@@ -443,3 +443,57 @@ def test_gnn_embedding_variant_forward():
     out = model.apply(v, batch, train=False, with_loss=True)
     assert np.isfinite(float(out["loss"]))
     assert out["pc_geo_feat"].shape == (2, cfg.num_pt, cfg.embed_dim)
+
+
+def test_nuscenes_config_episode_end_to_end():
+    """``nuscenes_config()`` at the REAL NuScenes fused-map grid (40x80,
+    derived from the 160x320 crop — the shape the reference breaks on:
+    MultiHeadModel.py:340 hardcodes 40x128, IMGPCEnDecoder.py:56 hardcodes
+    (40,128)). Full image path (MiniResNet pyramid 160x320 -> fused 40x80,
+    5x10=50 image proxies, 3200-pixel fine fusion) + geo heads + a full
+    deterministic episode. Point counts are reduced (the point branch is
+    grid-agnostic; full 40960-pt CPU forwards live in the slow tier).
+    """
+    from cmr_agent_tpu.config import nuscenes_config
+    from cmr_agent_tpu.data import SyntheticDataset, collate
+    from cmr_agent_tpu.env import init_poses, run_episode
+    from cmr_agent_tpu.ops import to_disentangled
+
+    cfg = nuscenes_config(num_pt=2048, num_node=160, num_proxy=32,
+                          circle_loss_num=64, knn_k=8, num_sa_layer=1,
+                          num_ca_layer_coarse=2, linear_attention_num=2,
+                          mlp_dim=128)
+    assert (cfg.image_h, cfg.image_w) == (40, 80)
+    assert cfg.name == "nuscenes"
+
+    ds = SyntheticDataset(cfg, length=2)
+    batch = {k: jnp.asarray(v) for k, v in collate([ds[0], ds[1]]).items()}
+
+    model = MultiHeadModel(cfg)
+    v = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)},
+                   batch, train=False, with_loss=True)
+    out = model.apply(v, batch, train=False, with_loss=True)
+    assert out["fused_img_feat"].shape == (2, 40, 80, cfg.embed_dim)
+    assert out["img_overlap_pred"].shape == (2, 40, 80)
+    assert np.isfinite(float(out["loss"]))
+
+    agent = CMRAgent(cfg)
+    state = {
+        "pc": out["pc"], "K": batch["K"],
+        "pc_overlap_pred": out["pc_overlap_pred"],
+        "pc_geo_feat": out["pc_geo_feat"],
+        "img_geo_feat": out["img_geo_feat"],
+        "pc_in_cam_space": batch["pc_in_cam_space"],
+        "pc_mask": batch["pc_mask"], "P": batch["P"],
+    }
+    h, w, f = cfg.image_h, cfg.image_w, cfg.embed_dim
+    av = agent.init(jax.random.key(1), jnp.zeros((2, h, w, 2 * f)),
+                    jnp.zeros((2, cfg.num_pt, cfg.obs3d_channels)),
+                    train=False)
+    pose_src, pose_tgt = init_poses(state)
+    pose_tgt = to_disentangled(pose_tgt, state["pc"])
+    final, _ = run_episode(
+        lambda vv, o2, o3: agent.apply(vv, o2, o3, train=False), av, state,
+        pose_src, pose_tgt, cfg, deterministic=True)
+    assert final.shape == (2, 4, 4)
+    assert np.all(np.isfinite(np.asarray(final)))

@@ -6,10 +6,22 @@ feature extraction then 10 refinement actions per pair, SURVEY.md §3.3),
 here compiled as a single on-device program.
 
 ``vs_baseline``: the north star is >=5x PyTorch-CPU pairs/sec/chip
-(BASELINE.json). The reference cannot run here (its torch_scatter CUDA dep
-is absent), so the baseline denominator is the same workload executed by
-the XLA CPU backend on this host — a generous stand-in for the torch CPU
-reference (same math, compiled). vs_baseline = tpu_rate / cpu_rate.
+(BASELINE.json). The denominator is the REAL reference — /root/reference's
+own torch code run on this host's CPU via tools/reference_shim.py under the
+reference's own Test_Agent protocol — measured by
+``python -m cmr_agent_tpu.tools.torch_cpu_baseline`` and cached in
+``TORCH_CPU_BASELINE.json`` (re-measuring a minutes-long CPU run inside
+every bench would burn the bench's wall budget). vs_baseline = tpu_rate /
+torch_cpu_rate. Set ``CMR_BENCH_XLA_CPU=1`` to additionally measure the
+old XLA-CPU stand-in (reported as ``vs_xla_cpu``).
+
+Hang-proofing (VERDICT r3, missing #1): one global watchdog covers EVERY
+phase — device listing, variable init, compile, first execution, warmup,
+timed blocks. If the total wall exceeds ``CMR_BENCH_TOTAL_BUDGET`` (default
+460 s) the watchdog prints a JSON line naming the wedged phase — with the
+best partial rate if at least one timed block finished, else value null —
+and exits. The driver therefore always gets a parseable line, never a bare
+rc=124.
 
 Compute dtype: defaults to bfloat16 activations (the idiomatic TPU serving
 configuration; params, BN stats, geo features and logits stay float32 —
@@ -24,14 +36,73 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+METRIC = "kitti_episode_pairs_per_sec_per_chip"
 
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
+
+# --------------------------------------------------------------------------
+# watchdog: every phase is covered; timeout emits JSON and exits
+# --------------------------------------------------------------------------
+
+_T0 = time.perf_counter()
+_STATE = {"phase": "startup", "rates": [], "baseline": None, "done": False}
+_LOCK = threading.Lock()
+
+
+def phase(msg: str):
+    with _LOCK:
+        _STATE["phase"] = msg
+    log(f"[bench +{time.perf_counter() - _T0:.0f}s] {msg}")
+
+
+def _emit(value, vs_baseline, extra=None):
+    out = {"metric": METRIC,
+           "value": round(value, 4) if value is not None else None,
+           "unit": "pairs/s",
+           "vs_baseline": round(vs_baseline, 3) if vs_baseline else None}
+    if extra:
+        out.update(extra)
+    print(json.dumps(out), flush=True)
+
+
+def _vs(rate, baseline):
+    return (rate / baseline["pairs_per_sec"]) if (rate and baseline) else None
+
+
+def _watchdog(budget_s: float):
+    while True:
+        remaining = budget_s - (time.perf_counter() - _T0)
+        if remaining <= 0:
+            break
+        with _LOCK:
+            if _STATE["done"]:
+                return
+        time.sleep(min(5.0, remaining))
+    with _LOCK:
+        if _STATE["done"]:
+            return
+        wedged, rates = _STATE["phase"], list(_STATE["rates"])
+        baseline = _STATE["baseline"]
+    log(f"WATCHDOG: total budget {budget_s:.0f}s exceeded in phase "
+        f"{wedged!r}; {len(rates)} timed blocks completed")
+    rate = float(np.median(rates)) if rates else None
+    _emit(rate, _vs(rate, baseline), {
+        "error": f"budget {budget_s:.0f}s exceeded in phase: {wedged}",
+        "partial": True, "timed_blocks_completed": len(rates)})
+    os._exit(3)
+
+
+# --------------------------------------------------------------------------
+# workload
+# --------------------------------------------------------------------------
 
 def build_workload(cfg, batch_size: int):
     import jax
@@ -106,14 +177,15 @@ def peak_flops_for(device) -> float | None:
 
 
 def time_backend(device, cfg, batch_size: int, iters: int, warmup: int,
-                 repeats: int = 1):
+                 repeats: int = 1, record_blocks: bool = False):
     """Returns (per-repeat rates, compile_s, cost_analysis dict or None).
 
     Steady-state discipline: one compile + ``warmup`` iterations are
     discarded, then ``repeats`` independently-timed blocks of ``iters``
     iterations run back-to-back — the caller takes the median block rate,
     so a single slow block (tunnel hiccup, host contention) cannot set the
-    headline number (VERDICT r2 weak #1).
+    headline number (VERDICT r2 weak #1). With ``record_blocks`` each
+    finished block's rate lands in the watchdog's partial-result store.
     """
     import jax
     import jax.numpy as jnp
@@ -126,11 +198,6 @@ def time_backend(device, cfg, batch_size: int, iters: int, warmup: int,
         # numerically negligible (~1e-11) but not removable by the compiler
         return jnp.mean(final) * 1e-12
 
-    # Phase breadcrumbs: a wedged remote grant/compile service stalls with
-    # no output otherwise (observed: 20 min of silence after device
-    # listing) — the last line printed tells the caller WHICH phase hung.
-    t_p = time.perf_counter()
-    phase = lambda m: log(f"[bench +{time.perf_counter() - t_p:.0f}s] {m}")
     with jax.default_device(device):
         phase(f"device_put batch on {device.platform}")
         batch = {k: jax.device_put(jnp.asarray(v), device)
@@ -149,24 +216,33 @@ def time_backend(device, cfg, batch_size: int, iters: int, warmup: int,
         phase("first execution")
         float(compiled(gv, av, batch, zero))  # readback = real execution
         compile_s = time.perf_counter() - t_c0
-        phase(f"warmup + {repeats} timed blocks")
+        phase(f"warmup ({warmup} iters)")
         shift = zero
         for _ in range(warmup):
             shift = compiled(gv, av, batch, shift)
         float(shift)
         rates = []
-        for _ in range(repeats):
+        for r in range(repeats):
+            phase(f"timed block {r + 1}/{repeats}")
             t0 = time.perf_counter()
             for _ in range(iters):
                 shift = compiled(gv, av, batch, shift)
             float(shift)  # host readback = hard synchronisation
             rates.append(batch_size * iters / (time.perf_counter() - t0))
+            if record_blocks:
+                with _LOCK:
+                    _STATE["rates"] = list(rates)
     return rates, compile_s, cost
 
 
 def main():
+    budget = float(os.environ.get("CMR_BENCH_TOTAL_BUDGET", "460"))
+    threading.Thread(target=_watchdog, args=(budget,), daemon=True).start()
+
+    phase("import jax")
     import jax
     from cmr_agent_tpu.config import kitti_config
+    from cmr_agent_tpu.tools.torch_cpu_baseline import load_cached
 
     # Persistent compile cache: the remote compile service's first
     # compilation in a process costs minutes; caching cuts repeat runs.
@@ -179,38 +255,33 @@ def main():
     dtype = os.environ.get("CMR_BENCH_DTYPE", "bfloat16")
     cfg = kitti_config(compute_dtype=dtype)
 
-    # Watchdog: a dead/wedged device grant makes jax.devices() block
-    # forever (claim_timeout -1; observed after a client was killed
-    # mid-step). Emit an explicit error line instead of hanging the
-    # caller. Generous default: per-process runtime warm-up through the
-    # tunnel is ~1-5 min when healthy.
-    import threading
-    init_done = threading.Event()
-    timeout_s = float(os.environ.get("CMR_BENCH_DEVICE_TIMEOUT", "900"))
+    baseline = load_cached()
+    with _LOCK:
+        _STATE["baseline"] = baseline
+    if baseline:
+        log(f"torch-CPU baseline: {baseline['pairs_per_sec']:.4f} pairs/s "
+            f"({baseline['implementation']}; measured "
+            f"{(time.time() - baseline['measured_unix_time']) / 3600:.1f} h "
+            "ago; refresh: python -m cmr_agent_tpu.tools.torch_cpu_baseline)")
+    else:
+        log("no TORCH_CPU_BASELINE.json — vs_baseline will be null "
+            "(run python -m cmr_agent_tpu.tools.torch_cpu_baseline)")
 
-    def _watchdog():
-        if not init_done.wait(timeout_s):
-            log(f"device initialization exceeded {timeout_s:.0f}s — "
-                "wedged device grant?")
-            print(json.dumps({
-                "metric": "kitti_episode_pairs_per_sec_per_chip",
-                "value": None, "unit": "pairs/s", "vs_baseline": None,
-                "error": f"device init timed out after {timeout_s:.0f}s",
-            }), flush=True)
-            os._exit(3)
-
-    threading.Thread(target=_watchdog, daemon=True).start()
+    # a dead/wedged device grant makes jax.devices() block forever
+    # (claim_timeout -1) — covered by the global watchdog
+    phase("list devices (tunnel grant)")
     tpu_devices = [d for d in jax.devices() if d.platform != "cpu"]
     cpu_devices = jax.devices("cpu")
-    init_done.set()
     log(f"devices listed: {[d.device_kind for d in tpu_devices]} "
         f"+ {len(cpu_devices)} cpu")
 
+    extra = {}
     if tpu_devices:
         dev = tpu_devices[0]
         bsz = 8
         rates, tpu_compile, cost = time_backend(
-            dev, cfg, batch_size=bsz, iters=10, warmup=3, repeats=5)
+            dev, cfg, batch_size=bsz, iters=10, warmup=3, repeats=5,
+            record_blocks=True)
         tpu_rate = float(np.median(rates))
         log(f"TPU ({dtype}, {dev.device_kind!r}): median {tpu_rate:.3f} "
             f"pairs/s over {len(rates)} blocks "
@@ -231,29 +302,32 @@ def main():
                     f"-> {float(ba) / bsz * tpu_rate / 1e9:.0f} GB/s achieved")
     else:
         rates, tpu_compile, _ = time_backend(
-            cpu_devices[0], cfg, batch_size=2, iters=2, warmup=1)
+            cpu_devices[0], cfg, batch_size=2, iters=2, warmup=1,
+            record_blocks=True)
         tpu_rate = float(np.median(rates))
         log(f"no TPU found; CPU stand-in rate {tpu_rate:.3f} pairs/s")
+        extra["note"] = "no TPU device; rate is the XLA-CPU stand-in"
 
-    try:
-        # warmup=1 + median of 2 timed blocks: the round-2 artifact showed
-        # the cold single-iteration denominator drifting 0.171->0.196
-        # pairs/s run-to-run, which moved vs_baseline by ~15%
-        cpu_rates, _, _ = time_backend(cpu_devices[0], cfg, batch_size=1,
-                                       iters=2, warmup=1, repeats=2)
-        cpu_rate = float(np.median(cpu_rates))
-        log(f"CPU baseline: {cpu_rate:.4f} pairs/s")
-    except Exception as e:  # CPU backend may be absent under some runtimes
-        log(f"CPU baseline unavailable ({type(e).__name__}: {e})")
-        cpu_rate = None
+    if os.environ.get("CMR_BENCH_XLA_CPU") == "1":
+        # legacy stand-in denominator, off by default (it costs minutes of
+        # CPU compile + execution inside the bench budget)
+        try:
+            cpu_rates, _, _ = time_backend(cpu_devices[0], cfg, batch_size=1,
+                                           iters=2, warmup=1, repeats=2)
+            xla_cpu = float(np.median(cpu_rates))
+            log(f"XLA-CPU stand-in: {xla_cpu:.4f} pairs/s")
+            extra["vs_xla_cpu"] = round(tpu_rate / xla_cpu, 3)
+        except Exception as e:
+            log(f"XLA-CPU stand-in unavailable ({type(e).__name__}: {e})")
 
-    vs_baseline = (tpu_rate / cpu_rate) if cpu_rate else None
-    print(json.dumps({
-        "metric": "kitti_episode_pairs_per_sec_per_chip",
-        "value": round(tpu_rate, 4),
-        "unit": "pairs/s",
-        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
-    }))
+    if baseline:
+        extra["torch_cpu_pairs_per_sec"] = baseline["pairs_per_sec"]
+        extra["baseline_source"] = ("reference torch code on this host CPU "
+                                    "(TORCH_CPU_BASELINE.json, tools/"
+                                    "torch_cpu_baseline.py)")
+    with _LOCK:
+        _STATE["done"] = True
+    _emit(tpu_rate, _vs(tpu_rate, baseline), extra)
 
 
 if __name__ == "__main__":

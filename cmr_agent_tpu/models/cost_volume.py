@@ -83,17 +83,38 @@ def decode_topk_yaw_poses(logits, r_amplitude, t_amplitude, nlabel: int,
     Candidate 0 is the yaw-marginal argmax, i.e. the standard decode up to
     the conditional-vs-marginal translation choice. No reference
     equivalent: the reference never revisits non-argmax hypotheses.
+
+    ``k`` may exceed ``nlabel``: candidates beyond the ``nlabel`` distinct
+    yaw bins re-nominate the most probable yaw bins with their RANK-2
+    conditional translation — the 2nd-best (tx, tz) cell of the joint
+    conditional p(tx, tz | ry) — so K=13..15 probes whether a scene whose
+    true pose sits in a well-ranked yaw bin was lost to the translation
+    decode rather than to yaw nomination (docs/CONVERGENCE.md §16, the
+    4/64 no-candidate scenes). Capped at ``2 * nlabel`` total.
     """
     b = logits.shape[0]
     nl = nlabel
+    if k > 2 * nl:
+        raise ValueError(f"k={k} exceeds 2*nlabel={2 * nl} candidates "
+                         "(rank-1 + rank-2 translation per yaw bin)")
     _, delta_r, delta_t = sample_pose_grid(r_amplitude, t_amplitude, nl)
     pred = jax.nn.softmax(logits, axis=-1).reshape(b, nl, nl, nl)
     p_ry = pred.sum(axis=(2, 3))                          # [B, nl]
-    _, ry_idx = jax.lax.top_k(p_ry, k)                    # [B, k]
+    k_yaw = min(k, nl)
+    _, ry_idx = jax.lax.top_k(p_ry, k_yaw)                # [B, k_yaw]
     cond = jnp.take_along_axis(pred, ry_idx[:, :, None, None],
-                               axis=1)                    # [B, k, nl, nl]
-    tx_idx = jnp.argmax(cond.sum(axis=3), axis=-1)        # [B, k]
-    tz_idx = jnp.argmax(cond.sum(axis=2), axis=-1)        # [B, k]
+                               axis=1)                    # [B, k_yaw, nl, nl]
+    tx_idx = jnp.argmax(cond.sum(axis=3), axis=-1)        # [B, k_yaw]
+    tz_idx = jnp.argmax(cond.sum(axis=2), axis=-1)        # [B, k_yaw]
+    if k > nl:
+        extra = k - nl
+        # rank-2 cell of the joint conditional, for the top `extra` bins
+        flat = cond.reshape(b, k_yaw, nl * nl)            # [.., tx*nl+tz]
+        _, top2 = jax.lax.top_k(flat, 2)                  # [B, k_yaw, 2]
+        tx2, tz2 = top2[..., 1] // nl, top2[..., 1] % nl
+        ry_idx = jnp.concatenate([ry_idx, ry_idx[:, :extra]], axis=1)
+        tx_idx = jnp.concatenate([tx_idx, tx2[:, :extra]], axis=1)
+        tz_idx = jnp.concatenate([tz_idx, tz2[:, :extra]], axis=1)
     ry = jnp.take_along_axis(delta_r, ry_idx, axis=1)     # [B, k]
     tx = jnp.take_along_axis(delta_t, tx_idx, axis=1)
     tz = jnp.take_along_axis(delta_t, tz_idx, axis=1)

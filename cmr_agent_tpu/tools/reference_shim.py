@@ -30,7 +30,10 @@ def install_reference_imports(root: str | None = None) -> str:
         shim = types.ModuleType("torch_scatter")
 
         def _sized(src, index, dim, dim_size, fill):
-            n = int(index.max().item()) + 1 if dim_size is None else dim_size
+            if dim_size is not None:
+                n = dim_size
+            else:
+                n = int(index.max().item()) + 1 if index.numel() else 0
             shape = list(src.shape)
             shape[dim] = n
             return torch.full(shape, fill, dtype=src.dtype)

@@ -250,6 +250,32 @@ def test_decode_topk_yaw_poses(cfg):
     c0 = np.asarray(decode_topk_yaw_poses(sep_logits, r_amp, t_amp, nl, 1))
     np.testing.assert_allclose(c0[0, 0], expected(4, 0, 8), atol=1e-5)
 
+    # k > nlabel: extras re-nominate top yaw bins with the RANK-2 joint
+    # conditional (tx, tz) cell. Give yaw bin 2 a secondary translation
+    # mode at (tx=3, tz=5): candidate nl (the first extra) must pair yaw
+    # bin 2 with exactly that cell; candidate nl+1 re-nominates yaw bin 6
+    # whose rank-2 cell is its 1e-6 background (just check yaw + rigidity).
+    p2 = p.copy()
+    p2[2, 3, 5] = 0.2
+    logits2 = jnp.array(np.log(p2 / p2.sum()).reshape(1, -1), jnp.float32)
+    k = nl + 2
+    ext = np.asarray(decode_topk_yaw_poses(logits2, r_amp, t_amp, nl, k))
+    assert ext.shape == (1, k, 4, 4)
+    np.testing.assert_allclose(ext[0, 0], expected(2, 1, 7), atol=1e-5)
+    np.testing.assert_allclose(ext[0, nl], expected(2, 3, 5), atol=1e-5)
+    # first nl candidates keep distinct yaw bins; extras repeat the top ones
+    fwd = np.asarray(decode_topk_yaw_poses(logits2, r_amp, t_amp, nl, nl))
+    np.testing.assert_allclose(ext[0, :nl], fwd[0], atol=1e-6)
+    for j in range(k):
+        R = ext[0, j, :3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    # yaw of candidate nl+1 matches yaw of candidate 1 (bin 6 re-nominated)
+    np.testing.assert_allclose(ext[0, nl + 1, :3, :3].T,
+                               ext[0, 1, :3, :3].T, atol=1e-5)
+    # over-cap k rejected loudly
+    with pytest.raises(ValueError):
+        decode_topk_yaw_poses(logits2, r_amp, t_amp, nl, 2 * nl + 1)
+
 
 def test_pointnet_capability_surface(cfg):
     rng = np.random.default_rng(3)

@@ -253,7 +253,12 @@ def main():
         pass
 
     dtype = os.environ.get("CMR_BENCH_DTYPE", "bfloat16")
-    cfg = kitti_config(compute_dtype=dtype)
+    overrides = {}
+    if os.environ.get("CMR_BENCH_RASTER_MODE"):     # A/B hook
+        overrides["raster_mode"] = os.environ["CMR_BENCH_RASTER_MODE"]
+    if os.environ.get("CMR_BENCH_RASTER_INT8") == "1":
+        overrides["raster_int8"] = True
+    cfg = kitti_config(compute_dtype=dtype, **overrides)
 
     baseline = load_cached()
     with _LOCK:

@@ -155,6 +155,13 @@ class Config:
     raster_mode: str = "topk"
     # Top-K for raster_mode="topk" (0 disables the compaction there).
     raster_topk: int = 20480
+    # int8 observation raster (opt-in): quantise the rasterised features
+    # per (sample, channel) symmetric absmax to int8 and run the one-hot
+    # matmul at the 2x int8 MXU rate with EXACT int32 accumulation —
+    # counts stay exact; the only error is the one input quantisation
+    # (~0.4% relative on the pooled features). bf16 stays the default:
+    # flip only with an accuracy A/B on the target protocol.
+    raster_int8: bool = False
     # Pose-aware 3-D observation: feed the agent's point branch the cloud
     # TRANSFORMED by the current pose estimate instead of the reference's
     # static cloud (environment.py:125). With the static cloud, pose
@@ -252,10 +259,14 @@ class Config:
     def episode_raster_topk(self):
         """Top-K for the episode's one-off observation compaction.
 
-        Only ``raster_mode="topk"`` compacts globally; the "compact" kernel
-        packs per tile in VMEM and "flat" relies on dead-tile gating alone.
+        ``raster_mode="topk"`` compacts globally via lax.top_k (ranked by
+        score, drop lowest beyond K); ``"pack"`` compacts globally via the
+        streaming mask-pack kernel (first-index order, drop highest-index
+        beyond K — no sort, no gathers); the "compact" kernel packs per
+        tile in VMEM and "flat" relies on dead-tile gating alone.
         """
-        if self.raster_mode == "topk" and 0 < self.raster_topk < self.num_pt:
+        if (self.raster_mode in ("topk", "pack")
+                and 0 < self.raster_topk < self.num_pt):
             return self.raster_topk
         return None
 

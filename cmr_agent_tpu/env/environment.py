@@ -273,22 +273,59 @@ def nn_alignment_stats(state, final_pose, image_h: int, image_w: int,
     }
 
 
-def compact_observation_state(state, k: int):
-    """Pre-compact the rasterisation inputs to the top-``k`` overlap points.
+def compact_observation_state(state, k: int, mode: str = "topk",
+                              use_pallas=None, interpret: bool = False):
+    """Pre-compact the rasterisation inputs to ``k`` overlap points.
 
     Only points with ``pc_overlap_pred`` contribute to the 2-D observation
     (environment.py:48-49), and that mask is FIXED across all episode steps
-    — so the point set can be compacted once per episode. Exact whenever the
-    overlap count <= k (ranking is by ``pc_is_in_cam_scores`` when present);
-    beyond that the lowest-score overlap points are dropped.
+    — so the point set can be compacted once per episode. Exact whenever
+    the overlap count <= k; beyond that:
+
+    * ``mode="topk"`` (default): ranked by ``pc_is_in_cam_scores`` when
+      present, lowest-score overlap points dropped. lax.top_k over [B, N]
+      plus three row gathers — differentiable, any backend.
+    * ``mode="pack"``: the streaming Pallas mask-pack kernel
+      (ops.pallas_kernels.mask_compact_pack) — no sort, no gathers, one
+      pass over the cloud; drop policy is highest-index-first. Eval-only
+      (no VJP) and TPU-only; silently falls back to "topk" off-TPU or at
+      non-tile-divisible shapes, so callers can pass ``cfg.raster_mode``
+      unconditionally.
 
     Returns a new state dict with ``raster_pc [B,k,3]``, ``raster_feat
     [B,k,F]``, ``raster_valid [B,k]`` consumed by
-    :func:`observation_from_pose`, plus ``raster_dropped [B]`` — the number
-    of overlap points silently excluded because more than ``k`` passed the
-    mask (0 whenever the compaction is exact). The 3-D observation still
-    sees the full cloud.
+    :func:`observation_from_pose` (the pack path also precomputes
+    ``raster_pcT [B,3,k]``, the channel-major layout the fused-eval episode
+    consumes), plus ``raster_dropped [B]`` — the number of overlap points
+    silently excluded because more than ``k`` passed the mask (0 whenever
+    the compaction is exact). The 3-D observation still sees the full
+    cloud.
     """
+    if mode == "pack":
+        from ..ops.pallas_kernels import (mask_compact_pack,
+                                          use_pallas_default)
+        block = 512
+        n = state["pc"].shape[1]
+        if ((use_pallas_default(use_pallas) or interpret)
+                and n % block == 0 and k % block == 0 and k >= 2 * block):
+            mask = state["pc_overlap_pred"]
+            pcT = jnp.swapaxes(state["pc"], 1, 2).astype(jnp.float32)
+            feat_k, pcT_k = mask_compact_pack(
+                mask, pcT, state["pc_geo_feat"], k, block=block,
+                interpret=interpret)
+            out = dict(state)
+            out["raster_feat"] = feat_k
+            out["raster_pcT"] = pcT_k
+            # row-major twin for the nc observation path; dead code
+            # (DCE'd by XLA) whenever only raster_pcT is consumed
+            out["raster_pc"] = jnp.swapaxes(pcT_k, 1, 2
+                                            ).astype(state["pc"].dtype)
+            n_overlap = mask.sum(axis=1).astype(jnp.int32)
+            cnt = jnp.minimum(n_overlap, k)
+            out["raster_valid"] = (jnp.arange(k, dtype=jnp.int32)[None, :]
+                                   < cnt[:, None])
+            out["raster_dropped"] = jnp.maximum(n_overlap - k, 0)
+            return out
     scores = state.get("pc_is_in_cam_scores",
                        state["pc_overlap_pred"].astype(jnp.float32))
     ranked = jnp.where(state["pc_overlap_pred"], scores, -1.0)

@@ -87,7 +87,13 @@ def run_episode(
     if key is None:
         key = jax.random.key(0)
     if raster_topk is not None:
-        state = compact_observation_state(state, raster_topk)
+        # The pack kernel has no VJP and drops by index, not score: the
+        # trajectory-collecting (training) path keeps the ranked top-k.
+        state = compact_observation_state(
+            state, raster_topk,
+            mode=("pack" if (cfg.raster_mode == "pack"
+                             and not collect_trajectory) else "topk"),
+            use_pallas=cfg.use_pallas)
 
     # Channel-major observations on the fused-eval path: every per-step
     # [B, N, narrow] tensor (projection chains, the 5..7-channel 3-D
@@ -95,14 +101,18 @@ def run_episode(
     # padded to 128 lanes — up to 25x the logical bytes per step. The
     # trajectory-collecting (training) path keeps the reference layout
     # (BC/PPO buffers and the torch-parity agent consume [K, B, N, C]).
+    import os
     from ..models.layers import fused_stack_mode
     obs3d_layout = ("cn" if (not collect_trajectory
-                             and fused_stack_mode(cfg.use_pallas, False)
-                             is not None) else "nc")
+                             and (fused_stack_mode(cfg.use_pallas, False,
+                                                   scope="agent")
+                                  is not None
+                                  or os.environ.get("CMR_OBS3D_CN") == "1"))
+                    else "nc")
     if obs3d_layout == "cn":
         state = dict(state)
         state["pcT"] = jnp.swapaxes(state["pc"], 1, 2)        # once/episode
-        if "raster_pc" in state:
+        if "raster_pc" in state and "raster_pcT" not in state:
             state["raster_pcT"] = jnp.swapaxes(state["raster_pc"], 1, 2)
 
     need_reward = collect_trajectory
@@ -123,8 +133,9 @@ def run_episode(
             exp_r = exp_t = None
 
         # bf16 episodes run the raster's one-hot matmul in bf16 too (f32
-        # accumulation; the agent consumes the observation in bf16 anyway)
-        raster_dtype = (jnp.bfloat16
+        # accumulation; the agent consumes the observation in bf16 anyway);
+        # cfg.raster_int8 upgrades it to the 2x-rate int8 MXU path.
+        raster_dtype = (jnp.int8 if cfg.raster_int8 else jnp.bfloat16
                         if cfg.compute_dtype == "bfloat16" else None)
         obs2d, obs3d = observation_from_pose(
             state, pose, cfg.image_h, cfg.image_w,

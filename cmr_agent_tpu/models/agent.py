@@ -75,7 +75,7 @@ class _ResDenseSplitBlock(nn.Module):
 
     @nn.compact
     def __call__(self, feat, pooled, train: bool):
-        mode = fused_stack_mode(self.use_pallas, train)
+        mode = fused_stack_mode(self.use_pallas, train, scope="agent")
         if self.cn:
             assert mode is not None, \
                 "cn layout is only valid on the fused eval path"
@@ -144,7 +144,7 @@ class _ResDenseConcatBlock(nn.Module):
 
     @nn.compact
     def __call__(self, feat, pooled, train: bool):
-        mode = fused_stack_mode(self.use_pallas, train)
+        mode = fused_stack_mode(self.use_pallas, train, scope="agent")
         if self.cn:
             assert mode is not None, \
                 "cn layout is only valid on the fused eval path"
@@ -211,11 +211,11 @@ class CMRAgent(nn.Module):
         up = cfg.use_pallas
         from .layers import fused_stack_mode
         cn = state_3d.shape[-1] not in (5, 7)                # [B, C, N]?
-        if cn and fused_stack_mode(up, train) is None:
+        if cn and fused_stack_mode(up, train, scope="agent") is None:
             state_3d = jnp.swapaxes(state_3d, 1, 2)          # CPU fallback
             cn = False
         pool_axis = 2 if cn else 1
-        feat = ResDenseBlock(f, dtype=dt, use_pallas=up, cn=cn,
+        feat = ResDenseBlock(f, dtype=dt, use_pallas=up, cn=cn, fuse_scope="agent",
                              name="state3d_0")(state_3d, train)
         pooled = jnp.max(feat, axis=pool_axis, keepdims=True)
         feat = _ResDenseSplitBlock(f, dtype=dt, use_pallas=up, cn=cn,

@@ -136,12 +136,19 @@ def fold_dense_bn(kernel, bias, scale, bn_bias, mean, var,
     return kernel * s[None, :], (bias - mean) * s + bn_bias
 
 
-def fused_stack_mode(use_pallas, train: bool):
+def fused_stack_mode(use_pallas, train: bool, scope: str = "geo"):
     """Route a pointwise stack to the fused eval kernel?
 
     Returns ``None`` (unfused — the default), ``"compiled"`` (TPU eval
     with ``CMR_FUSED_STACKS=1``) or ``"interpret"`` (CPU tests force the
     fused branch via ``CMR_FUSED_STACK_INTERPRET=1``).
+
+    ``CMR_FUSED_STACKS=agent`` fuses only ``scope="agent"`` stacks (the
+    episode-scan CMRAgent branches) while the geo encoder keeps the plain
+    XLA stacks — probing whether the round-3 global loss was purely on
+    the geo side. Measured (round 4, bench.py B=8 bf16, same session):
+    agent-only fusion 154.3 pairs/s vs 159.0 unfused — ALSO a reject;
+    the in-scan chains lose the same way the geo chains do.
 
     Default OFF (measured reject, round 3): end-to-end the fused chains +
     channel-major episode measured 149.2 pairs/s vs 157.4 for the plain
@@ -162,7 +169,8 @@ def fused_stack_mode(use_pallas, train: bool):
         # serving config can never silently force slow interpret-mode
         # kernels there; use CMR_FUSED_STACKS=1 for the compiled path.
         return "interpret"
-    if os.environ.get("CMR_FUSED_STACKS") != "1":
+    gate = os.environ.get("CMR_FUSED_STACKS")
+    if gate != "1" and not (gate == "agent" and scope == "agent"):
         return None
     return "compiled" if on_tpu else None
 
@@ -178,10 +186,11 @@ class MiniPointNet(nn.Module):
     features: int
     dtype: Dtype = None
     use_pallas: Any = None
+    fuse_scope: str = "geo"  # fused_stack_mode routing scope
 
     @nn.compact
     def __call__(self, x, train: bool):
-        mode = fused_stack_mode(self.use_pallas, train)
+        mode = fused_stack_mode(self.use_pallas, train, scope=self.fuse_scope)
         if mode is None:
             for _ in range(3):
                 x = DenseBNLeaky(self.features, dtype=self.dtype)(x, train)
@@ -213,10 +222,11 @@ class ResDenseBlock(nn.Module):
     dtype: Dtype = None
     use_pallas: Any = None
     cn: bool = False  # channel-major input [B, C, N] (fused eval only)
+    fuse_scope: str = "geo"  # fused_stack_mode routing scope
 
     @nn.compact
     def __call__(self, x, train: bool):
-        mode = fused_stack_mode(self.use_pallas, train)
+        mode = fused_stack_mode(self.use_pallas, train, scope=self.fuse_scope)
         if self.cn:
             assert mode is not None, \
                 "cn layout is only valid on the fused eval path"

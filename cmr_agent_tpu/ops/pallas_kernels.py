@@ -35,11 +35,11 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _contractT(a, b):
+def _contractT(a, b, preferred=jnp.float32):
     # a [T, F], b [T, M] -> a^T @ b [F, M] without an explicit transpose
     # (MXU handles the transposed LHS natively via dimension numbers)
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=preferred)
 
 
 def _kernel(gmax_ref, attn_ref, val_ref, idx_ref, out_ref, sum_ref):
@@ -568,7 +568,7 @@ def _sum_image_flat_kernel(flags_ref, data_ref, idx_ref, out_ref, *,
                 [data, jnp.ones((tile, 1), data.dtype)], axis=1)
         seg = jax.lax.broadcasted_iota(jnp.int32, (tile, m_pad), 1)
         onehotT = (seg == idx_ref[0, 0].reshape(tile, 1)).astype(data.dtype)
-        out_ref[0] += _contractT(data, onehotT)
+        out_ref[0] += _contractT(data, onehotT, preferred=out_ref.dtype)
 
 
 def _sum_image_factored_kernel(flags_ref, data_ref, lo_ref, hi_ref, out_ref,
@@ -608,13 +608,27 @@ def _segment_sum_image_impl(data, idx, h: int, w: int, tile: int,
         n = data.shape[1]
     n_tiles = n // tile
     idx = idx.astype(jnp.int32)
-    if compute_dtype is not None:
+    dequant_scale = None
+    if compute_dtype is not None and jnp.dtype(compute_dtype) == jnp.int8:
+        # int8 one-hot matmul: 2x the bf16 MXU rate on v5e, and the int32
+        # accumulation is EXACT — the only error is one per-(sample,
+        # channel) symmetric absmax quantisation of the inputs. Counts
+        # (the appended ones column) stay exact integers.
+        absmax = jnp.max(jnp.abs(data.astype(jnp.float32)), axis=1)  # [B,F]
+        scale = jnp.maximum(absmax, 1e-12) / 127.0
+        q = jnp.round(data.astype(jnp.float32) / scale[:, None, :])
+        data = jnp.clip(q, -127, 127).astype(jnp.int8)
+        dequant_scale = scale
+    elif compute_dtype is not None:
         data = data.astype(compute_dtype)
     flags = jnp.any(
         idx.reshape(b, n_tiles, tile) < num_segments, axis=-1
     ).astype(jnp.int32).reshape(-1)
 
     if factored:
+        if dequant_scale is not None:
+            raise ValueError("int8 raster is implemented for the flat "
+                             "kernel only")
         if w > 128:
             raise ValueError(f"factored raster kernel needs w <= 128, got {w}")
         # invalid ids (== h*w) land on hi == h, outside the unrolled loop
@@ -652,12 +666,18 @@ def _segment_sum_image_impl(data, idx, h: int, w: int, tile: int,
         out_specs=pl.BlockSpec((1, f_out, m_pad),
                                lambda bb, tt, fl: (bb, 0, 0)),
     )
+    acc_dtype = jnp.int32 if dequant_scale is not None else jnp.float32
     out = pl.pallas_call(
         functools.partial(_sum_image_flat_kernel, append_ones=append_ones),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, f_out, m_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, f_out, m_pad), acc_dtype),
         interpret=interpret,
     )(flags, data, idx[:, None, :])
+    if dequant_scale is not None:
+        s = dequant_scale                                 # [B, F]
+        if append_ones:                                   # count channel: 1
+            s = jnp.concatenate([s, jnp.ones((b, 1), s.dtype)], axis=1)
+        out = out.astype(jnp.float32) * s[:, :, None]
     return jnp.swapaxes(out, 1, 2)[:, :num_segments]
 
 
@@ -1359,3 +1379,143 @@ def _chain_cn_bwd(slopes, residual, final_slope, out_max, tile, interpret,
 
 
 fused_dense_chain_cn.defvjp(_chain_cn_fwd, _chain_cn_bwd)
+
+
+# --------------------------------------------------------------------------
+# Mask-compaction pack: valid rows first, no ranking, no XLA top_k/gather.
+#
+# The episode's observation compaction (env.compact_observation_state,
+# reference environment/environment.py:48-49 boolean indexing) was
+# lax.top_k over [B, 40960] + three take_along_axis row gathers — ~2 ms of
+# every bench iteration, almost all of it the full sort top_k lowers to
+# (the same pathology as the round-2 knn finding, docs/DESIGN.md). The
+# raster is a sum over points, so the pack ORDER is irrelevant: this
+# kernel streams the cloud once, packs masked rows first-index-first via a
+# per-block permutation one-hot matmul, and writes each block's survivors
+# at the running offset with a masked read-modify-write. Drop policy when
+# more than ``k`` rows are masked: highest-index overflow drops (top_k
+# dropped lowest-score; both are observable via ``raster_dropped``).
+# --------------------------------------------------------------------------
+
+def _mask_pack_kernel(mask_ref, pcT_ref, feat_ref, feat_out, pcT_out,
+                      count_ref, *, k: int, block: int):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        count_ref[0] = 0
+        feat_out[:] = jnp.zeros_like(feat_out)
+        pcT_out[:] = jnp.zeros_like(pcT_out)
+
+    m_row = (mask_ref[0, 0] != 0).reshape(1, block)           # [1, T]
+    # inclusive prefix count via a triangular matmul (no Mosaic cumsum):
+    # prefix[j] = sum_i m[i] * (i <= j). bf16 0/1 products with f32
+    # accumulation are exact at any block size.
+    ii = jax.lax.broadcasted_iota(jnp.int32, (block, block), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (block, block), 1)
+    tri = (ii <= jj).astype(jnp.bfloat16)
+    prefix = jax.lax.dot_general(
+        m_row.astype(jnp.bfloat16), tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)  # [1, T]
+    mcount = prefix[0, block - 1]
+    count = count_ref[0]
+    # Aligned double-width output window: Mosaic requires dynamic lane
+    # offsets provably 128-aligned, so the window start is the block-
+    # aligned floor of the running count and the window spans 2 blocks
+    # (count - w0 < block and <= block new rows always fit).
+    w0 = jnp.minimum(count // block, k // block - 2) * block
+    w0 = pl.multiple_of(w0, block)
+    off = count - w0
+    # slot in the 2-block window; == 2*block for dropped/invalid rows
+    dest = count + prefix - 1                                 # global row
+    slot = jnp.where(m_row & (dest < k), off + prefix - 1, 2 * block)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (block, 2 * block), 1)
+    onehot = (lane == slot.reshape(block, 1)).astype(feat_ref.dtype)
+
+    # packed [2T, F] = onehot^T @ feat (row-major, straight into the
+    # raster kernel's layout); pc_packed [3, 2T] channel-major for the
+    # per-step projection chain. HIGHEST precision for f32 operands: the
+    # permutation products are exact in any dtype but DEFAULT would
+    # bf16-truncate the f32 data itself (same rule as gather_rows_fused).
+    prec = (jax.lax.Precision.HIGHEST
+            if feat_ref.dtype == jnp.float32 else None)
+    packed = jax.lax.dot_general(onehot, feat_ref[0],
+                                 (((0,), (0,)), ((), ())),
+                                 precision=prec,
+                                 preferred_element_type=jnp.float32)
+    pc_packed = jax.lax.dot_general(pcT_ref[0].astype(jnp.float32),
+                                    onehot.astype(jnp.float32),
+                                    (((1,), (0,)), ((), ())),
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=jnp.float32)
+    lane_d = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * block), 1)
+    wmask = ((lane_d >= off) & (lane_d < off + mcount)
+             & (w0 + lane_d < k))
+    # row-oriented twin built from a sublane iota (Mosaic cannot
+    # transpose i1 vectors)
+    row_d = jax.lax.broadcasted_iota(jnp.int32, (2 * block, 1), 0)
+    wmask_r = ((row_d >= off) & (row_d < off + mcount)
+               & (w0 + row_d < k))
+    cur_f = feat_out[0, pl.ds(w0, 2 * block), :]
+    feat_out[0, pl.ds(w0, 2 * block), :] = jnp.where(
+        wmask_r, packed.astype(feat_out.dtype), cur_f)
+    cur_p = pcT_out[0, :, pl.ds(w0, 2 * block)]
+    pcT_out[0, :, pl.ds(w0, 2 * block)] = jnp.where(wmask, pc_packed, cur_p)
+    count_ref[0] = jnp.minimum(count + mcount, k)
+
+
+def mask_compact_pack(mask, pcT, feat, k: int, block: int = 512,
+                      interpret: bool = False):
+    """Pack masked rows first: ``-> (feat [B,k,F], pcT [B,3,k])``.
+
+    Args:
+      mask: ``[B, N]`` bool/int — rows to keep.
+      pcT:  ``[B, 3, N]`` float32 coordinates (channel-major).
+      feat: ``[B, N, F]`` features (any float dtype; packed exactly — the
+        permutation one-hot products are exact in every dtype).
+      k: output row budget. When more than ``k`` rows are masked the
+        highest-index overflow is dropped (count the loss host-side via
+        ``mask.sum() - k``).
+
+    Within the first ``min(count, k)`` output rows, packed order is
+    first-index-first; remaining rows are zero. Output row j of ``feat``
+    (row-major, the raster kernel's layout) and column j of ``pcT``
+    (channel-major, the projection chain's layout) correspond to the same
+    input row.
+    """
+    b, n = mask.shape
+    f = feat.shape[-1]
+    assert pcT.shape == (b, 3, n), pcT.shape
+    assert feat.shape == (b, n, f), feat.shape
+    assert n % block == 0, (n, block)
+    assert k % block == 0 and k >= 2 * block, (k, block)
+    assert block % 128 == 0, block
+    n_tiles = n // block
+    mask = mask.astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, block), lambda bb, tt: (bb, 0, tt)),
+            pl.BlockSpec((1, 3, block), lambda bb, tt: (bb, 0, tt)),
+            pl.BlockSpec((1, block, f), lambda bb, tt: (bb, tt, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, k, f), lambda bb, tt: (bb, 0, 0)),
+            pl.BlockSpec((1, 3, k), lambda bb, tt: (bb, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+    )
+    feat_out, pcT_out = pl.pallas_call(
+        functools.partial(_mask_pack_kernel, k=k, block=block),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, k, f), feat.dtype),
+                   jax.ShapeDtypeStruct((b, 3, k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            # resident [k, F] output + window buffers exceed the 16M
+            # default scoped budget at k=20480; v5e has 128M physical VMEM
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(mask[:, None, :], pcT, feat)
+    return feat_out, pcT_out

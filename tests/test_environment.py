@@ -757,6 +757,50 @@ def test_compacted_observation_matches_full():
                                   want_drop)
 
 
+def test_pack_compacted_observation_matches_topk():
+    """mode="pack" (streaming mask-pack kernel, interpret) produces the
+    same 2-D observation as the ranked top-k compaction — pack order is
+    irrelevant to the raster sum — and the same drop accounting."""
+    from cmr_agent_tpu.env.environment import compact_observation_state
+    rng = np.random.default_rng(29)
+    B, N, F, h, w = 2, 2048, 8, 6, 10
+    K = np.array([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]], np.float32)
+    overlap = rng.random((B, N)) < 0.3
+    state = {
+        "pc": jnp.array(rng.normal(size=(B, N, 3)) * 2
+                        + np.array([0, 0, 6]), jnp.float32),
+        "K": jnp.array(np.tile(K, (B, 1, 1))),
+        "pc_overlap_pred": jnp.array(overlap),
+        "pc_geo_feat": jnp.array(rng.normal(size=(B, N, F)), jnp.float32),
+        "img_geo_feat": jnp.array(rng.normal(size=(B, h, w, F)),
+                                  jnp.float32),
+    }
+    pose = jnp.array(np.tile(np.eye(4, dtype=np.float32), (B, 1, 1)))
+    pose = pose.at[:, 0, 3].set(0.5)
+
+    k = 1024  # >= every overlap count here -> both modes exact
+    assert int(overlap.sum(1).max()) <= k
+    topk = compact_observation_state(state, k)
+    pack = compact_observation_state(state, k, mode="pack", interpret=True)
+    assert "raster_pcT" in pack
+    np.testing.assert_allclose(np.asarray(pack["raster_pcT"]),
+                               np.asarray(jnp.swapaxes(pack["raster_pc"],
+                                                       1, 2)))
+    o2_topk, o3_topk = observation_from_pose(topk, pose, h, w)
+    o2_pack, o3_pack = observation_from_pose(pack, pose, h, w)
+    np.testing.assert_allclose(np.asarray(o2_pack), np.asarray(o2_topk),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(o3_pack), np.asarray(o3_topk))
+    np.testing.assert_array_equal(np.asarray(pack["raster_dropped"]), 0)
+    np.testing.assert_array_equal(
+        np.asarray(pack["raster_valid"]).sum(1), overlap.sum(1))
+
+    # off-TPU without interpret: silent fallback to the ranked top-k
+    fb = compact_observation_state(state, k, mode="pack")
+    np.testing.assert_allclose(np.asarray(fb["raster_pc"]),
+                               np.asarray(topk["raster_pc"]))
+
+
 def test_expert_and_step_6dof():
     """is_6_DoF branch: 3 rotation + 3 translation actions
     (reference environment.py:172-175,189-194)."""

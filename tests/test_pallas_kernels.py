@@ -4,6 +4,7 @@ Runs in Pallas interpret mode on CPU; the same kernel compiles on TPU.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -214,6 +215,25 @@ def test_segment_sum_image_fused_variants():
                 np.asarray(means), want / np.maximum(cnt, 1)[..., None],
                 rtol=1e-4, atol=1e-4)
 
+        # int8 path (flat kernel only): counts are EXACT int accumulation;
+        # sums carry one per-(sample, channel) absmax quantisation of the
+        # inputs (error <= 0.5/127 of the channel absmax per point).
+        got8 = segment_sum_image_fused(data, idx, h, w, 64, False,
+                                       jnp.int8, True)
+        amax = np.max(np.abs(np.asarray(data)), axis=1)           # [B, F]
+        tol = (0.5 / 127.0) * amax[:, None, :] * \
+            np.maximum(cnt, 1)[..., None] + 1e-6
+        assert (np.abs(np.asarray(got8) - want) <= tol).all()
+        m8, c8 = segment_mean_count_image_fused(data, idx, h, w, 64,
+                                                False, jnp.int8, True)
+        np.testing.assert_array_equal(np.asarray(c8), cnt)
+        np.testing.assert_allclose(
+            np.asarray(m8), want / np.maximum(cnt, 1)[..., None],
+            rtol=2e-2, atol=2e-2)
+        with pytest.raises(ValueError):
+            segment_sum_image_fused(data, idx, h, w, 64, True,
+                                    jnp.int8, True)
+
 
 def test_segment_sum_image_fused_gradient():
     from cmr_agent_tpu.ops.pallas_kernels import segment_sum_image_fused
@@ -320,3 +340,53 @@ def test_scatter_mean_image_compact_mode_matches_xla():
     got = (sums / jnp.maximum(counts[..., None], 1.0)).reshape(b, h, w, f)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_mask_compact_pack():
+    """Streaming mask-pack vs a numpy boolean-index oracle: first-index-
+    first order, exact feature/coordinate pairing, zero tail, overflow
+    drop policy (highest-index rows beyond k), dead and full tiles."""
+    from cmr_agent_tpu.ops.pallas_kernels import mask_compact_pack
+    rng = np.random.default_rng(21)
+    b, n, f, block = 2, 1024, 6, 128
+    k = 512
+    feat = rng.normal(size=(b, n, f)).astype(np.float32)
+    pc = rng.normal(size=(b, n, 3)).astype(np.float32)
+    mask = rng.random((b, n)) < 0.3
+    mask[0, 128:256] = False          # dead tile
+    mask[1, 256:384] = True           # full tile
+
+    got_feat, got_pcT = mask_compact_pack(
+        jnp.asarray(mask), jnp.asarray(np.swapaxes(pc, 1, 2)),
+        jnp.asarray(feat), k, block=block, interpret=True)
+    assert got_feat.shape == (b, k, f)
+    assert got_pcT.shape == (b, 3, k)
+    for bb in range(b):
+        sel = np.nonzero(mask[bb])[0][:k]          # overflow drop: tail
+        cnt = len(sel)
+        np.testing.assert_allclose(np.asarray(got_feat)[bb, :cnt],
+                                   feat[bb, sel], rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_pcT)[bb, :, :cnt],
+                                   pc[bb, sel].T, rtol=1e-6, atol=1e-6)
+        assert (np.asarray(got_feat)[bb, cnt:] == 0).all()
+        assert (np.asarray(got_pcT)[bb, :, cnt:] == 0).all()
+
+    # overflow: all rows masked, n > k -> exactly the first k rows kept
+    mask_all = np.ones((1, n), bool)
+    gf, gp = mask_compact_pack(
+        jnp.asarray(mask_all), jnp.asarray(np.swapaxes(pc[:1], 1, 2)),
+        jnp.asarray(feat[:1]), k, block=block, interpret=True)
+    np.testing.assert_allclose(np.asarray(gf)[0], feat[0, :k],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gp)[0], pc[0, :k].T,
+                               rtol=1e-6, atol=1e-6)
+
+    # bf16 features pack exactly (permutation products are exact)
+    gf16, _ = mask_compact_pack(
+        jnp.asarray(mask), jnp.asarray(np.swapaxes(pc, 1, 2)),
+        jnp.asarray(feat, jnp.bfloat16), k, block=block, interpret=True)
+    sel0 = np.nonzero(mask[0])[0][:k]
+    np.testing.assert_array_equal(
+        np.asarray(gf16[0, :len(sel0)]).astype(np.float32),
+        np.asarray(jnp.asarray(feat[0, sel0], jnp.bfloat16)
+                   ).astype(np.float32))

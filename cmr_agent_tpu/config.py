@@ -152,6 +152,16 @@ class Config:
     #     only beats "topk" when validity is low (<~15%) or when the K-cap
     #     drops are unacceptable (overlap count > raster_topk).
     #   "flat" — flat kernel over the full cloud (dead-tile gating only).
+    #   "pack" — streaming mask-pack compaction (mask_compact_pack: no
+    #     sort, no gathers; drop policy beyond K is highest-index, not
+    #     lowest-score). Eval episodes only; training keeps "topk".
+    #   "mega" — pack compaction + the projection-fused raster kernel
+    #     (transform, pinhole projection, frustum test and one-hot
+    #     accumulation in ONE Pallas call; the per-step [3, K] projection
+    #     chain never leaves VMEM). Eval only; training scans keep the
+    #     composable path.
+    #   "megatopk" — ranked topk compaction + the mega raster ("topk"'s
+    #     exact drop semantics with the fused per-step cost).
     raster_mode: str = "topk"
     # Top-K for raster_mode="topk" (0 disables the compaction there).
     raster_topk: int = 20480
@@ -265,7 +275,7 @@ class Config:
         beyond K — no sort, no gathers); the "compact" kernel packs per
         tile in VMEM and "flat" relies on dead-tile gating alone.
         """
-        if (self.raster_mode in ("topk", "pack")
+        if (self.raster_mode in ("topk", "pack", "mega", "megatopk")
                 and 0 < self.raster_topk < self.num_pt):
             return self.raster_topk
         return None

@@ -342,12 +342,49 @@ def compact_observation_state(state, k: int, mode: str = "topk",
     return out
 
 
+def _mega_raster(feats, R, t, image_h, image_w, raster_dtype, mean,
+                 interpret: bool = False):
+    """Projection-fused 2-D observation raster (``raster_mode="mega"``).
+
+    Folds the disentangled SE(3) transform + pinhole projection into a
+    12-float affine per sample (``A = K R``, ``b = K (mean + t - R
+    mean)``) and hands the compacted valid-first cloud to
+    :func:`..ops.pallas_kernels.segment_mean_count_image_project_fused`:
+    the per-step [3, K] projection chain never leaves VMEM. Requires a
+    pre-compacted state (compact_observation_state, either mode — both
+    lay valid rows first, which the kernel's prefix gating and the
+    ``counts`` operand assume).
+    """
+    from ..ops.pallas_kernels import segment_mean_count_image_project_fused
+    pcT_k = feats.get("raster_pcT")
+    if pcT_k is None:
+        pcT_k = jnp.swapaxes(feats["raster_pc"], 1, 2)
+    pcT_k = pcT_k.astype(jnp.float32)
+    K_ = feats["K"].astype(jnp.float32)
+    Rf = R.astype(jnp.float32)
+    tf = t.astype(jnp.float32)
+    A = jnp.einsum("bij,bjk->bik", K_, Rf)
+    bv = jnp.einsum("bij,bj->bi", K_,
+                    mean + tf - jnp.einsum("bij,bj->bi", Rf, mean))
+    ab = jnp.concatenate([A.reshape(-1, 9), bv], axis=1)      # [B, 12]
+    counts = feats["raster_valid"].sum(axis=1).astype(jnp.int32)
+    if raster_dtype is not None and jnp.dtype(raster_dtype) == jnp.int8:
+        raster_dtype = jnp.bfloat16   # int8 quantisation: flat kernel only
+    means, _ = segment_mean_count_image_project_fused(
+        pcT_k, feats["raster_feat"], ab, counts, image_h, image_w,
+        compute_dtype=raster_dtype, interpret=interpret)
+    b = pcT_k.shape[0]
+    f = feats["raster_feat"].shape[-1]
+    return means.reshape(b, image_h, image_w, f)
+
+
 def observation_from_pose(feats, pose, image_h: int, image_w: int,
                           use_pallas=None, raster_dtype=None,
                           pose_aware: bool = False,
                           bearing_channels: bool = False,
                           raster_mode: str = "topk",
-                          obs3d_layout: str = "nc"):
+                          obs3d_layout: str = "nc",
+                          raster_interpret: bool = False):
     """Render the 2-D and 3-D observations under the current pose estimate.
 
     Args:
@@ -386,7 +423,7 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int,
     if obs3d_layout == "cn":
         return _observation_from_pose_cn(
             feats, R, t, image_h, image_w, use_pallas, raster_dtype,
-            pose_aware, bearing_channels, raster_mode)
+            pose_aware, bearing_channels, raster_mode, raster_interpret)
 
     def project(points):
         moved = transform_points_disentangled(points, R, t)
@@ -397,7 +434,14 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int,
     # (environment.py:46,54): compacted points must reuse it.
     mean_full = pc.mean(axis=1, keepdims=True)
 
-    if "raster_pc" in feats:  # pre-compacted (compact_observation_state)
+    from ..ops.pallas_kernels import use_pallas_default
+    if ("raster_pc" in feats and raster_mode == "mega"
+            and (use_pallas_default(use_pallas) or raster_interpret)):
+        proj_feat = _mega_raster(feats, R, t, image_h, image_w,
+                                 raster_dtype, mean_full[:, 0],
+                                 raster_interpret)
+        moved_full, _, in_cam = project(pc)
+    elif "raster_pc" in feats:  # pre-compacted (compact_observation_state)
         r_pc = feats["raster_pc"]
         moved = (jnp.einsum("bij,bnj->bni", R, r_pc - mean_full)
                  + mean_full + t[:, None, :])
@@ -447,7 +491,7 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int,
 
 def _observation_from_pose_cn(feats, R, t, image_h, image_w, use_pallas,
                               raster_dtype, pose_aware, bearing_channels,
-                              raster_mode):
+                              raster_mode, raster_interpret=False):
     """Channel-major observation: every per-step intermediate is [B, C, N].
 
     Same math as the row-major body; the point axis rides the LANES so no
@@ -475,7 +519,14 @@ def _observation_from_pose_cn(feats, R, t, image_h, image_w, use_pallas,
         projT = project_points_cn(movedT, K)
         return movedT, projT, frustum_mask_cn(projT, w=image_w, h=image_h)
 
-    if "raster_pc" in feats:  # pre-compacted (compact_observation_state)
+    from ..ops.pallas_kernels import use_pallas_default
+    if ("raster_pc" in feats and raster_mode == "mega"
+            and (use_pallas_default(use_pallas) or raster_interpret)):
+        proj_feat = _mega_raster(feats, R, t, image_h, image_w,
+                                 raster_dtype, meanT[:, :, 0],
+                                 raster_interpret)
+        movedT, _, in_cam = projectT(pcT)
+    elif "raster_pc" in feats:  # pre-compacted (compact_observation_state)
         r_pcT = feats.get("raster_pcT")
         if r_pcT is None:
             r_pcT = jnp.swapaxes(feats["raster_pc"], 1, 2)

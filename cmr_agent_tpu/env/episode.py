@@ -89,11 +89,19 @@ def run_episode(
     if raster_topk is not None:
         # The pack kernel has no VJP and drops by index, not score: the
         # trajectory-collecting (training) path keeps the ranked top-k.
+        # "mega" compacts via pack (both are eval-only TPU paths).
         state = compact_observation_state(
             state, raster_topk,
-            mode=("pack" if (cfg.raster_mode == "pack"
+            mode=("pack" if (cfg.raster_mode in ("pack", "mega")
                              and not collect_trajectory) else "topk"),
             use_pallas=cfg.use_pallas)
+        if (cfg.raster_mode in ("mega", "megatopk")
+                and not collect_trajectory
+                and "raster_pcT" not in state):
+            # pack provides raster_pcT; the topk fallback doesn't — build
+            # the channel-major twin once per episode, not per step
+            state = dict(state)
+            state["raster_pcT"] = jnp.swapaxes(state["raster_pc"], 1, 2)
 
     # Channel-major observations on the fused-eval path: every per-step
     # [B, N, narrow] tensor (projection chains, the 5..7-channel 3-D
@@ -142,7 +150,15 @@ def run_episode(
             use_pallas=cfg.use_pallas, raster_dtype=raster_dtype,
             pose_aware=cfg.pose_aware_observation,
             bearing_channels=cfg.obs_bearing_channels,
-            raster_mode=cfg.raster_mode, obs3d_layout=obs3d_layout)
+            # the mega (projection-fused) raster has no VJP: training
+            # episodes keep the composable project->raster path.
+            # "megatopk" = ranked compaction (today's exact drop
+            # semantics) + the mega raster.
+            raster_mode=("topk" if (cfg.raster_mode in ("mega", "megatopk")
+                                    and collect_trajectory)
+                         else "mega" if cfg.raster_mode == "megatopk"
+                         else cfg.raster_mode),
+            obs3d_layout=obs3d_layout)
         r_logits, t_logits, value = agent_apply(agent_vars, obs2d, obs3d)
 
         new_key, sub = jax.random.split(carry.key)

@@ -1519,3 +1519,107 @@ def mask_compact_pack(mask, pcT, feat, k: int, block: int = 512,
         interpret=interpret,
     )(mask[:, None, :], pcT, feat)
     return feat_out, pcT_out
+
+
+# --------------------------------------------------------------------------
+# Projection-fused observation raster: SE(3) transform + pinhole projection
+# + frustum test + one-hot segment accumulation in ONE kernel.
+#
+# The per-step 2-D observation (reference environment/environment.py:67-82)
+# was project -> round -> mask -> scatter_mean_image: four XLA fusions plus
+# a Pallas call whose [B, 1, N] id operand XLA re-lays out per step
+# (copy-start pairs in the round-4 trace). Because the transform is affine,
+# the whole chain collapses to pix = round((A @ p + b) / z) with
+# A = K_cam @ R and b = K_cam @ (mean + t - R @ mean) folded OUTSIDE the
+# kernel (9 + 3 floats per sample, SMEM-prefetched): the [3, N] projection
+# chain never exists in HBM at all. Valid-first compaction
+# (compact_observation_state, either mode) makes dead-tile gating a prefix
+# test against the per-sample valid count — no flags tensor either.
+# Eval-only (no VJP): training episodes keep the composable path.
+# --------------------------------------------------------------------------
+
+def _project_raster_kernel(cnt_ref, ab_ref, pcT_ref, feat_ref, out_ref, *,
+                           h: int, w: int, tile: int):
+    bb, t = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    count = cnt_ref[bb]
+
+    @pl.when(t * tile < count)
+    def _():
+        px = pcT_ref[0, 0:1, :].astype(jnp.float32)           # [1, T]
+        py = pcT_ref[0, 1:2, :].astype(jnp.float32)
+        pz = pcT_ref[0, 2:3, :].astype(jnp.float32)
+        a = lambda i: ab_ref[bb, i]
+        xp = a(0) * px + a(1) * py + a(2) * pz + a(9)
+        yp = a(3) * px + a(4) * py + a(5) * pz + a(10)
+        zp = a(6) * px + a(7) * py + a(8) * pz + a(11)
+        zs = jnp.where(jnp.abs(zp) < 1e-10, 1e-10, zp)
+        x = xp / zs
+        y = yp / zs
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+        ok = ((x >= 0) & (x <= (w - 1)) & (y >= 0) & (y <= (h - 1))
+              & (zp > 0) & (t * tile + lane < count))
+        xi = jnp.round(x).astype(jnp.int32)
+        yi = jnp.round(y).astype(jnp.int32)
+        pix = jnp.where(ok, yi * w + xi, -1)                  # [1, T]
+
+        data = feat_ref[0]                                    # [T, F]
+        m_pad = out_ref.shape[2]
+        data = jnp.concatenate(
+            [data, jnp.ones((tile, 1), data.dtype)], axis=1)  # count col
+        seg = jax.lax.broadcasted_iota(jnp.int32, (tile, m_pad), 1)
+        onehotT = (seg == pix.reshape(tile, 1)).astype(data.dtype)
+        out_ref[0] += _contractT(data, onehotT)
+
+
+def segment_mean_count_image_project_fused(pcT, feat, ab, counts,
+                                           h: int, w: int, tile: int = 512,
+                                           compute_dtype=None,
+                                           interpret: bool = False):
+    """Fused project+raster mean: ``-> (means [B,h*w,F], counts [B,h*w])``.
+
+    Args:
+      pcT:   ``[B, 3, K]`` f32 compacted cloud, channel-major, VALID ROWS
+             FIRST (compact_observation_state order).
+      feat:  ``[B, K, F]`` features (row j pairs with pcT column j).
+      ab:    ``[B, 12]`` f32 — row-major ``A = K_cam @ R`` (9) then
+             ``b = K_cam @ (mean + t - R @ mean)`` (3); the pixel of point
+             p is ``round((A p + b)_xy / (A p + b)_z)``.
+      counts: ``[B]`` int32 number of valid leading rows; rows beyond are
+             never read (whole-tile prefix gating).
+    """
+    b, _, k = pcT.shape
+    f = feat.shape[-1]
+    assert feat.shape == (b, k, f), feat.shape
+    assert ab.shape == (b, 12), ab.shape
+    if k % tile != 0:
+        raise ValueError(f"K={k} must be a multiple of tile={tile}")
+    if compute_dtype is not None:
+        feat = feat.astype(compute_dtype)
+    m = h * w
+    m_pad = _round_up(m, 128)
+    n_tiles = k // tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 3, tile), lambda bb, tt, *_: (bb, 0, tt)),
+            pl.BlockSpec((1, tile, f), lambda bb, tt, *_: (bb, tt, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, f + 1, m_pad),
+                               lambda bb, tt, *_: (bb, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_project_raster_kernel, h=h, w=w, tile=tile),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, f + 1, m_pad), jnp.float32),
+        interpret=interpret,
+    )(counts.astype(jnp.int32), ab.astype(jnp.float32), pcT, feat)
+    out = jnp.swapaxes(out, 1, 2)[:, :m]
+    sums, cnt = out[..., :f], out[..., f]
+    return sums / jnp.maximum(cnt, 1.0)[..., None], cnt

@@ -801,6 +801,51 @@ def test_pack_compacted_observation_matches_topk():
                                np.asarray(topk["raster_pc"]))
 
 
+def test_mega_raster_matches_composable():
+    """raster_mode="mega" (projection-fused kernel, interpret) equals the
+    composable project->raster path on a compacted valid-first state —
+    both layouts, including a nonzero dropped/zero tail that the count
+    gate must never read."""
+    from cmr_agent_tpu.env.environment import compact_observation_state
+    rng = np.random.default_rng(31)
+    B, N, F, h, w = 2, 2048, 8, 6, 10
+    K = np.array([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]], np.float32)
+    overlap = rng.random((B, N)) < 0.25
+    state = {
+        "pc": jnp.array(rng.normal(size=(B, N, 3)) * 2
+                        + np.array([0, 0, 6]), jnp.float32),
+        "K": jnp.array(np.tile(K, (B, 1, 1))),
+        "pc_overlap_pred": jnp.array(overlap),
+        "pc_geo_feat": jnp.array(rng.normal(size=(B, N, F)), jnp.float32),
+        "img_geo_feat": jnp.array(rng.normal(size=(B, h, w, F)),
+                                  jnp.float32),
+    }
+    pose = jnp.array(np.tile(np.eye(4, dtype=np.float32), (B, 1, 1)))
+    pose = pose.at[:, 0, 3].set(0.5)
+    pose = pose.at[:, 2, 3].set(-0.3)
+
+    compact = compact_observation_state(state, 1024, mode="pack",
+                                        interpret=True)
+    want2d, want3d = observation_from_pose(compact, pose, h, w)
+    got2d, got3d = observation_from_pose(compact, pose, h, w,
+                                         raster_mode="mega",
+                                         raster_interpret=True)
+    np.testing.assert_allclose(np.asarray(got2d), np.asarray(want2d),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got3d), np.asarray(want3d))
+
+    # channel-major (fused-eval) layout drives the same mega kernel
+    cn = dict(compact)
+    cn["pcT"] = jnp.swapaxes(cn["pc"], 1, 2)
+    wc2d, wc3d = observation_from_pose(cn, pose, h, w, obs3d_layout="cn")
+    gc2d, gc3d = observation_from_pose(cn, pose, h, w, obs3d_layout="cn",
+                                       raster_mode="mega",
+                                       raster_interpret=True)
+    np.testing.assert_allclose(np.asarray(gc2d), np.asarray(wc2d),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gc3d), np.asarray(wc3d))
+
+
 def test_expert_and_step_6dof():
     """is_6_DoF branch: 3 rotation + 3 translation actions
     (reference environment.py:172-175,189-194)."""

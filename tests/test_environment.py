@@ -845,6 +845,31 @@ def test_mega_raster_matches_composable():
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(gc3d), np.asarray(wc3d))
 
+    # behind-camera points (z < 0 after the pose) must be frustum-dropped
+    # identically, and the bf16 kernel dtype must match the composable
+    # bf16 raster within bf16 input rounding
+    flipped = dict(compact)
+    flipped["pc"] = compact["pc"].at[:, :, 2].multiply(-1.0)
+    fpcT = jnp.swapaxes(flipped["raster_pc"], 1, 2
+                        ).at[:, 2, :].multiply(-1.0)
+    flipped["raster_pc"] = jnp.swapaxes(fpcT, 1, 2)
+    flipped["raster_pcT"] = fpcT
+    wf2d, _ = observation_from_pose(flipped, pose, h, w)
+    gf2d, _ = observation_from_pose(flipped, pose, h, w,
+                                    raster_mode="mega",
+                                    raster_interpret=True)
+    np.testing.assert_allclose(np.asarray(gf2d), np.asarray(wf2d),
+                               atol=2e-5)
+
+    w16, _ = observation_from_pose(compact, pose, h, w,
+                                   raster_dtype=jnp.bfloat16)
+    g16, _ = observation_from_pose(compact, pose, h, w,
+                                   raster_dtype=jnp.bfloat16,
+                                   raster_mode="mega",
+                                   raster_interpret=True)
+    np.testing.assert_allclose(np.asarray(g16), np.asarray(w16),
+                               rtol=2e-2, atol=2e-2)
+
 
 def test_expert_and_step_6dof():
     """is_6_DoF branch: 3 rotation + 3 translation actions

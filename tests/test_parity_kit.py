@@ -10,7 +10,9 @@ one-liner the day real blobs/dumps arrive.
 import pytest
 
 
-@pytest.mark.slow
+# Default tier on purpose (VERDICT r3 #8): the dry-run agreement is the
+# canary that keeps the converter + reference protocol green for the day
+# real checkpoints appear. ~45 s each on this host.
 def test_parity_kit_dry_run(tmp_path):
     from cmr_agent_tpu.tools.parity_eval import main
 
@@ -24,7 +26,6 @@ def test_parity_kit_dry_run(tmp_path):
     assert report["num_samples"] == 2
 
 
-@pytest.mark.slow
 def test_parity_kit_dry_run_nuscenes(tmp_path):
     """--dataset nuscenes must route to the reference's NuScenesConfiguration
     (round-3 fix) and still reach per-sample agreement."""

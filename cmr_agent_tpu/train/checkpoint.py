@@ -58,7 +58,13 @@ def save_train_checkpoint(path: str, state: Any) -> None:
 
 def model_tree_path(path: str) -> str:
     """Resolve a checkpoint dir to its model subtree: new two-tree layout
-    (``path/model``) or a legacy flat model-only checkpoint (``path``)."""
+    (``path/model``) or a legacy flat model-only checkpoint (``path``).
+
+    Always absolute: orbax ``metadata()`` returns ``item_metadata=None``
+    (with only a warning) for RELATIVE paths, which turns into an
+    AttributeError deep inside restore for any checkpoint carrying a
+    ``step`` leaf."""
+    path = os.path.abspath(path)
     sub = os.path.join(path, "model")
     return sub if os.path.isdir(sub) else path
 

@@ -140,7 +140,7 @@ class Config:
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     use_pallas: bool = True  # use fused Pallas kernels where available
     # Episode observation rasterisation strategy:
-    #   "topk" (default) — lax.top_k compaction of the top ``raster_topk``
+    #   "topk" — lax.top_k compaction of the top ``raster_topk``
     #     overlap points once per episode + the flat kernel (exact while
     #     the overlap count <= K; beyond that the lowest-score overlap
     #     points are dropped). Fastest: per-step cost is capped at K rows.
@@ -160,9 +160,14 @@ class Config:
     #     accumulation in ONE Pallas call; the per-step [3, K] projection
     #     chain never leaves VMEM). Eval only; training scans keep the
     #     composable path.
-    #   "megatopk" — ranked topk compaction + the mega raster ("topk"'s
-    #     exact drop semantics with the fused per-step cost).
-    raster_mode: str = "topk"
+    #   "megatopk" (DEFAULT) — ranked topk compaction + the mega raster
+    #     ("topk"'s exact drop semantics with the fused per-step cost).
+    #     Same-session TPU A/B (round 4, B=8 bf16): 159.4 vs 157.3
+    #     pairs/s for "topk"; "mega"+raster_int8 reaches 161.9 but both
+    #     carry semantic deltas (index-drop / input quantisation) so they
+    #     stay opt-in. Off-TPU every mode falls back to the composable
+    #     path, and training scans always use it (VJP).
+    raster_mode: str = "megatopk"
     # Top-K for raster_mode="topk" (0 disables the compaction there).
     raster_topk: int = 20480
     # int8 observation raster (opt-in): quantise the rasterised features

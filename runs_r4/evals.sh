@@ -20,7 +20,7 @@ COMMON="--dataset synthetic --synthetic-scene structured --synthetic-length 64 \
   --dtype bfloat16 --iter-ckpt $ITER --geo-ckpt runs_r4/geo_pi \
   --fine-geo-ckpt runs_r4/geo_45 --agent-ckpt runs_r4/agent_45 \
   --unmasked-warp --pose-aware --aux-head --bearing-init \
-  --iter-hypotheses 9 --hypo-score combo --refine-rounds 1 --eval-batch-size 8"
+  --iter-hypotheses 9 --hypo-score combo --refine-rounds 1 --eval-batch-size 4"
 set -x
 timeout 3600 python -m cmr_agent_tpu.cli.test_agent $COMMON \
   --refine-beam combo,mean_valid,ir_smooth --beam-score above50_norm \

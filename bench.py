@@ -247,7 +247,9 @@ def main():
     # Persistent compile cache: the remote compile service's first
     # compilation in a process costs minutes; caching cuts repeat runs.
     try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/cmr_jax_cache")
+        from cmr_agent_tpu.cli.common import host_feature_cache_dir
+        jax.config.update("jax_compilation_cache_dir",
+                          host_feature_cache_dir("/tmp/cmr_jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
@@ -284,8 +286,12 @@ def main():
     if tpu_devices:
         dev = tpu_devices[0]
         bsz = 8
+        # iters=25/block: at ~50 ms/iter a 10-iter block was ~0.5 s and the
+        # artifact's block spread (+-3%, BENCH_r04) could not resolve the
+        # +1.5-3% kernel gains being claimed; 25 iters keeps 5 blocks well
+        # inside the driver budget and tightens the spread (VERDICT r4 #7).
         rates, tpu_compile, cost = time_backend(
-            dev, cfg, batch_size=bsz, iters=10, warmup=3, repeats=5,
+            dev, cfg, batch_size=bsz, iters=25, warmup=3, repeats=5,
             record_blocks=True)
         tpu_rate = float(np.median(rates))
         log(f"TPU ({dtype}, {dev.device_kind!r}): median {tpu_rate:.3f} "
@@ -330,6 +336,12 @@ def main():
         extra["baseline_source"] = ("reference torch code on this host CPU "
                                     "(TORCH_CPU_BASELINE.json, tools/"
                                     "torch_cpu_baseline.py)")
+    # the artifact must prove WHICH config it measured (VERDICT r4 #7)
+    extra["config"] = {"raster_mode": cfg.raster_mode,
+                       "raster_int8": cfg.raster_int8,
+                       "compute_dtype": cfg.compute_dtype}
+    if rates:
+        extra["block_pairs_per_sec"] = [round(float(r), 3) for r in rates]
     with _LOCK:
         _STATE["done"] = True
     _emit(tpu_rate, _vs(tpu_rate, baseline), extra)

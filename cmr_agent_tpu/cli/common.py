@@ -88,6 +88,31 @@ def maybe_initialize_distributed(args) -> None:
                    process_id=args.process_id)
 
 
+def host_feature_cache_dir(base: str) -> str:
+    """Key an XLA compile-cache dir by the host's CPU feature set.
+
+    XLA:CPU serialises AOT executables specialised to THIS host's ISA
+    extensions; loading one on a host without them can SIGILL ("Machine
+    type ... doesn't match" warning in the round-4 multichip dryrun). A
+    short hash of /proc/cpuinfo's flags in the path turns a feature
+    change into a cache miss instead of a crash. TPU executables don't
+    carry the hazard, but the keying is harmless there.
+    """
+    import hashlib
+    import platform
+
+    feats = platform.machine() + platform.processor()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = line
+                    break
+    except OSError:
+        pass
+    return f"{base}-{hashlib.sha1(feats.encode()).hexdigest()[:10]}"
+
+
 def enable_compile_cache(path: str = "") -> None:
     """Persistent XLA compilation cache for every CLI entry point.
 
@@ -107,6 +132,7 @@ def enable_compile_cache(path: str = "") -> None:
     if jax.config.jax_compilation_cache_dir and not env:
         return  # an explicitly-configured cache (tests, bench) wins
     path = env or path or os.path.expanduser("~/.cache/cmr_agent_tpu/xla")
+    path = host_feature_cache_dir(path)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

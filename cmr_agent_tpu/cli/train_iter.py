@@ -171,10 +171,22 @@ def main(argv=None):
                         iter_state)
             step += 1
             if args.steps and step >= args.steps:
+                # ALWAYS save the final state: the flagship eval composes
+                # from the last checkpoint, and "best val CE" is not the
+                # selection criterion there (the decode candidate ceiling
+                # keeps improving after val CE plateaus — CONVERGENCE.md
+                # §16 K-sweep). Without this, a run whose val loss never
+                # re-improves would end with no checkpoint near the cap.
+                save_train_checkpoint(
+                    os.path.join(ckpt_root, f"epoch-{epoch}-step-{step}"),
+                    iter_state)
                 print(f"step cap reached ({args.steps}); final cv_loss "
-                      f"{float(metrics['cost_volume_loss']):.4f}")
+                      f"{float(metrics['cost_volume_loss']):.4f}; "
+                      f"saved final checkpoint at step {step}", flush=True)
                 return iter_state
         print(f"epoch {epoch} done", flush=True)
+    save_train_checkpoint(
+        os.path.join(ckpt_root, f"final-step-{step}"), iter_state)
     return iter_state
 
 

@@ -135,6 +135,17 @@ class Config:
     # forward during the backward pass instead (~1.3x step time for
     # ~2x batch headroom). Eval/decode paths are unaffected.
     cost_volume_remat: bool = False
+    # Hypothesis-chunked EVAL scoring: process the nlabel^3 pose grid in
+    # chunks of this many hypotheses (warp -> stack -> tower per chunk,
+    # logits concatenated) so the [B, P, H, W, 2F+2] volume never
+    # materialises for all P at once. The reference chunks the same
+    # computation 200 poses at a time (IterModel.py:329-345); here the
+    # chunk is static (must divide nlabel^3) and the tower runs per chunk
+    # too — exact at eval because BatchNorm reads running stats. Restores
+    # batch-8 eval on a 16 GB chip (round-4 OOM: 16.84 GB at B=8).
+    # 0 disables; ignored (single-shot) when train=True or when it does
+    # not divide nlabel^3.
+    cost_volume_eval_chunk: int = 243
 
     # <----------- TPU-specific knobs (no reference analog) ---------->
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
@@ -163,10 +174,17 @@ class Config:
     #   "megatopk" (DEFAULT) — ranked topk compaction + the mega raster
     #     ("topk"'s exact drop semantics with the fused per-step cost).
     #     Same-session TPU A/B (round 4, B=8 bf16): 159.4 vs 157.3
-    #     pairs/s for "topk"; "mega"+raster_int8 reaches 161.9 but both
-    #     carry semantic deltas (index-drop / input quantisation) so they
-    #     stay opt-in. Off-TPU every mode falls back to the composable
-    #     path, and training scans always use it (VJP).
+    #     pairs/s for "topk". The round-4 best (161.9) was "mega" (pack
+    #     compaction, index-drop semantics) + the int8 raster, measured
+    #     BEFORE the mega kernel briefly lost its int8 path to a bf16
+    #     downgrade; round 5 implements int8 inside the mega kernel
+    #     (segment_mean_count_image_project_fused), so
+    #     "megatopk"+raster_int8 now combines exact drop semantics with
+    #     the 2x-rate raster — quantisation is the only accuracy delta.
+    #     Off-TPU every mode falls back to the composable path, and
+    #     training scans always use it (VJP). raster_topk must be a
+    #     multiple of 512 for the mega kernel; other values fall back to
+    #     the composable pre-compacted raster.
     raster_mode: str = "megatopk"
     # Top-K for raster_mode="topk" (0 disables the compaction there).
     raster_topk: int = 20480

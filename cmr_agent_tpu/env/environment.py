@@ -328,7 +328,12 @@ def compact_observation_state(state, k: int, mode: str = "topk",
             return out
     scores = state.get("pc_is_in_cam_scores",
                        state["pc_overlap_pred"].astype(jnp.float32))
-    ranked = jnp.where(state["pc_overlap_pred"], scores, -1.0)
+    # -inf filler keeps the compaction valid-first UNCONDITIONALLY — the
+    # mega raster's prefix-count gating depends on it, and a finite filler
+    # would break if scores were ever logits (< -1) instead of softmax
+    # probabilities.
+    ranked = jnp.where(state["pc_overlap_pred"], scores.astype(jnp.float32),
+                       -jnp.inf)
     _, sel = jax.lax.top_k(ranked, k)                     # [B, k]
     take = lambda x: jnp.take_along_axis(
         x, sel[..., None] if x.ndim == 3 else sel, axis=1)
@@ -368,8 +373,6 @@ def _mega_raster(feats, R, t, image_h, image_w, raster_dtype, mean,
                     mean + tf - jnp.einsum("bij,bj->bi", Rf, mean))
     ab = jnp.concatenate([A.reshape(-1, 9), bv], axis=1)      # [B, 12]
     counts = feats["raster_valid"].sum(axis=1).astype(jnp.int32)
-    if raster_dtype is not None and jnp.dtype(raster_dtype) == jnp.int8:
-        raster_dtype = jnp.bfloat16   # int8 quantisation: flat kernel only
     means, _ = segment_mean_count_image_project_fused(
         pcT_k, feats["raster_feat"], ab, counts, image_h, image_w,
         compute_dtype=raster_dtype, interpret=interpret)
@@ -436,6 +439,7 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int,
 
     from ..ops.pallas_kernels import use_pallas_default
     if ("raster_pc" in feats and raster_mode == "mega"
+            and feats["raster_pc"].shape[1] % 512 == 0
             and (use_pallas_default(use_pallas) or raster_interpret)):
         proj_feat = _mega_raster(feats, R, t, image_h, image_w,
                                  raster_dtype, mean_full[:, 0],
@@ -521,6 +525,7 @@ def _observation_from_pose_cn(feats, R, t, image_h, image_w, use_pallas,
 
     from ..ops.pallas_kernels import use_pallas_default
     if ("raster_pc" in feats and raster_mode == "mega"
+            and feats["raster_pc"].shape[1] % 512 == 0
             and (use_pallas_default(use_pallas) or raster_interpret)):
         proj_feat = _mega_raster(feats, R, t, image_h, image_w,
                                  raster_dtype, meanT[:, :, 0],

@@ -108,10 +108,17 @@ def decode_topk_yaw_poses(logits, r_amplitude, t_amplitude, nlabel: int,
     tz_idx = jnp.argmax(cond.sum(axis=2), axis=-1)        # [B, k_yaw]
     if k > nl:
         extra = k - nl
-        # rank-2 cell of the joint conditional, for the top `extra` bins
+        # best joint-conditional cell that DIFFERS from the marginal-decoded
+        # rank-1 (tx, tz) pair, for the top `extra` bins: rank-1 uses the
+        # marginal argmaxes, so when the joint argmax disagrees with them it
+        # is itself a fresh candidate — falling back to the joint's rank-2
+        # cell only when the joint argmax duplicates rank-1 (otherwise the
+        # beam slot could be wasted on a duplicate).
         flat = cond.reshape(b, k_yaw, nl * nl)            # [.., tx*nl+tz]
         _, top2 = jax.lax.top_k(flat, 2)                  # [B, k_yaw, 2]
-        tx2, tz2 = top2[..., 1] // nl, top2[..., 1] % nl
+        rank1 = tx_idx * nl + tz_idx                      # [B, k_yaw]
+        pick = jnp.where(top2[..., 0] == rank1, top2[..., 1], top2[..., 0])
+        tx2, tz2 = pick // nl, pick % nl
         ry_idx = jnp.concatenate([ry_idx, ry_idx[:, :extra]], axis=1)
         tx_idx = jnp.concatenate([tx_idx, tx2[:, :extra]], axis=1)
         tz_idx = jnp.concatenate([tz_idx, tz2[:, :extra]], axis=1)
@@ -177,10 +184,11 @@ class IterModel(nn.Module):
         from ..ops.pallas_kernels import (segment_sum_fused_shared,
                                           use_pallas_default)
 
-        def warp_fused():
-            """TPU path: compact to the top-K masked points, project under
-            all hypotheses, aggregate with the shared-data one-hot kernel
-            (XLA scatters are not viable on this runtime)."""
+        use_fused = self.interpret or use_pallas_default(cfg.use_pallas)
+
+        # <-- TPU warp: static top-K compaction, hoisted so every pose
+        # chunk shares it (XLA scatters are not viable on this runtime) -->
+        if use_fused:
             k_pts = min(self.warp_topk, n_pts)
             # top-K by overlap score among masked points; -1 sinks unmasked
             sel_scores = jnp.where(mask, scores, -1.0)
@@ -191,11 +199,26 @@ class IterModel(nn.Module):
             feat_k = take(feat)                                # [B, K, F]
             scores_k = take(scores)                            # [B, K]
             mask_k = jnp.take_along_axis(mask, sel, axis=1)    # [B, K]
+            aug = jnp.concatenate(
+                [feat_k, scores_k[..., None],
+                 jnp.ones_like(scores_k)[..., None]], axis=-1)  # [B, K, F+2]
+            # Observability for the static compaction bound: how many masked
+            # points were excluded because more than K passed the mask
+            # (0 = exact warp; reference semantics use ALL masked points,
+            # IterModel.py:301-321).
+            n_masked = mask.sum(axis=1).astype(jnp.int32)
+            warp_dropped = jnp.maximum(n_masked - k_pts, 0)
+        else:
+            warp_dropped = jnp.zeros((b,), jnp.int32)
 
-            R = poses[..., :3, :3]
-            t = poses[..., :3, 3]
+        def warp_fused_poses(poses_c):
+            """TPU path for a pose chunk [B, C, 4, 4]: project the
+            compacted cloud under every hypothesis in the chunk, aggregate
+            with the shared-data one-hot kernel."""
+            R = poses_c[..., :3, :3]
+            t = poses_c[..., :3, 3]
             pc_w = (jnp.einsum("bpij,bkj->bpki", R, pc_k)
-                    + t[:, :, None, :])                        # [B, P, K, 3]
+                    + t[:, :, None, :])                        # [B, C, K, 3]
             proj = jnp.einsum("bij,bpkj->bpki", K, pc_w)
             z = proj[..., 2]
             xy = proj[..., :2] / jnp.where(jnp.abs(z[..., None]) < 1e-10,
@@ -207,21 +230,12 @@ class IterModel(nn.Module):
             yi = jnp.round(xy[..., 1]).astype(jnp.int32)
             ids = jnp.where(valid, yi * w + xi, npix)          # routed out
 
-            aug = jnp.concatenate(
-                [feat_k, scores_k[..., None],
-                 jnp.ones_like(scores_k)[..., None]], axis=-1)  # [B, K, F+2]
             sums = segment_sum_fused_shared(aug, ids, npix,
                                             interpret=self.interpret)
             counts = sums[..., -1]
             wf = sums[..., :f] / jnp.maximum(counts[..., None], 1.0)
             occ = sums[..., f]
-            # Observability for the static compaction bound: how many masked
-            # points were excluded because more than K passed the mask
-            # (0 = exact warp; reference semantics use ALL masked points,
-            # IterModel.py:301-321).
-            n_masked = mask.sum(axis=1).astype(jnp.int32)
-            dropped = jnp.maximum(n_masked - k_pts, 0)
-            return wf, occ, dropped
+            return wf, occ
 
         def warp_chunk(pose_chunk):
             """pose_chunk [B, C, 4, 4] -> (mean feat [B,C,npix,F], occ [B,C,npix])."""
@@ -254,60 +268,89 @@ class IterModel(nn.Module):
 
             return jax.vmap(per_b)(ids, valid, feat, scores)
 
-        warp_dropped = jnp.zeros((b,), jnp.int32)
-        if self.interpret or use_pallas_default(cfg.use_pallas):
-            warped_feat, occupancy, warp_dropped = warp_fused()
-        else:
+        def warp_any(poses_c):
+            """Warp a pose chunk -> (mean feat [B,C,npix,F], occ [B,C,npix])
+            via the fused TPU kernel or the lax.map CPU path."""
+            n_p = poses_c.shape[1]
+            if use_fused:
+                return warp_fused_poses(poses_c)
             n_chunk = max(1, self.pose_chunk)
-            assert n_pose % n_chunk == 0 or n_chunk >= n_pose, (
-                "pose_chunk must divide nlabel^3")
-            if n_chunk >= n_pose:
-                warped_feat, occupancy = warp_chunk(poses)
-            else:
-                chunks = poses.reshape(b, n_pose // n_chunk, n_chunk, 4, 4)
-                chunks = jnp.swapaxes(chunks, 0, 1)  # [n_chunks, B, C, 4, 4]
-                warped_feat, occupancy = jax.lax.map(warp_chunk, chunks)
-                warped_feat = jnp.swapaxes(warped_feat, 0, 1).reshape(
-                    b, n_pose, npix, f)
-                occupancy = jnp.swapaxes(occupancy, 0, 1).reshape(
-                    b, n_pose, npix)
-
-        warped_feat = warped_feat.reshape(b, n_pose, h, w, f)
-        occupancy = occupancy.reshape(b, n_pose, h, w, 1)
-
-        img_geo = jnp.broadcast_to(state["img_geo_feat"][:, None],
-                                   (b, n_pose, h, w, f))
-        img_overlap = jnp.broadcast_to(
-            state["img_overlap_pred"][:, None, :, :, None],
-            (b, n_pose, h, w, 1))
-        vol = jnp.concatenate([img_geo, warped_feat, occupancy, img_overlap],
-                              axis=-1)                          # [B,P,H,W,2F+2]
+            assert n_p % n_chunk == 0 or n_chunk >= n_p, (
+                "pose_chunk must divide the hypothesis count")
+            if n_chunk >= n_p:
+                return warp_chunk(poses_c)
+            chunks = poses_c.reshape(b, n_p // n_chunk, n_chunk, 4, 4)
+            chunks = jnp.swapaxes(chunks, 0, 1)      # [n_chunks, B, C, 4, 4]
+            wf, occ = jax.lax.map(warp_chunk, chunks)
+            return (jnp.swapaxes(wf, 0, 1).reshape(b, n_p, npix, f),
+                    jnp.swapaxes(occ, 0, 1).reshape(b, n_p, npix))
 
         # <-- scoring tower: poses fold into batch; all (1,3,3) convs -->
         # (runs in the config compute dtype: params stay f32, activations
-        # cast per cfg.compute_dtype, logits back to f32)
+        # cast per cfg.compute_dtype, logits back to f32). Layers are
+        # instantiated ONCE so the single-shot and hypothesis-chunked
+        # paths share parameters (repeated calls of one instance reuse
+        # its variables).
         dt = cfg.jnp_dtype()
-        x = vol.reshape(b * n_pose, h, w, 2 * f + 2).astype(dt)
         lrelu = lambda v: nn.leaky_relu(v, negative_slope=0.01)
         widths = [(f, f), (f // 2, f // 2), (f // 4, f // 4), (f // 4, f // 8)]
-        for si, (w0, w1) in enumerate(widths):
-            x = nn.Conv(w0, (3, 3), padding=1, kernel_init=torch_kernel_init,
-                        dtype=dt, name=f"cv_conv{si}_0")(x)
-            x = BatchNorm(name=f"cv_bn{si}")(x, train)
+        conv_a = [nn.Conv(w0, (3, 3), padding=1,
+                          kernel_init=torch_kernel_init, dtype=dt,
+                          name=f"cv_conv{si}_0")
+                  for si, (w0, _) in enumerate(widths)]
+        bns = [BatchNorm(name=f"cv_bn{si}") for si in range(len(widths))]
+        conv_b = [nn.Conv(w1, (3, 3), padding=1,
+                          kernel_init=torch_kernel_init, dtype=dt,
+                          name=f"cv_conv{si}_1")
+                  for si, (_, w1) in enumerate(widths)]
+        head0 = nn.Conv(f // 16, (1, 1), kernel_init=torch_kernel_init,
+                        dtype=dt, name="cv_head_0")
+        head1 = nn.Conv(1, (1, 1), kernel_init=torch_kernel_init,
+                        dtype=dt, name="cv_head_1")
+
+        def score(poses_c):
+            """Warp + stack + tower for a pose chunk -> logits [B, C]."""
+            n_p = poses_c.shape[1]
+            warped_feat, occupancy = warp_any(poses_c)
+            warped_feat = warped_feat.reshape(b, n_p, h, w, f)
+            occupancy = occupancy.reshape(b, n_p, h, w, 1)
+            img_geo = jnp.broadcast_to(state["img_geo_feat"][:, None],
+                                       (b, n_p, h, w, f))
+            img_overlap = jnp.broadcast_to(
+                state["img_overlap_pred"][:, None, :, :, None],
+                (b, n_p, h, w, 1))
+            vol = jnp.concatenate(
+                [img_geo, warped_feat, occupancy, img_overlap],
+                axis=-1)                                # [B, C, H, W, 2F+2]
+            x = vol.reshape(b * n_p, h, w, 2 * f + 2).astype(dt)
+            for si in range(len(widths)):
+                x = conv_a[si](x)
+                x = bns[si](x, train)
+                x = lrelu(x)
+                x = conv_b[si](x)
+                x = lrelu(x)
+                if si < 3:
+                    x = nn.avg_pool(x, (2, 2), strides=(2, 2),
+                                    padding="VALID")
+                else:
+                    x = jnp.mean(x, axis=(1, 2), keepdims=True)  # global avg
+            x = head0(x)
             x = lrelu(x)
-            x = nn.Conv(w1, (3, 3), padding=1, kernel_init=torch_kernel_init,
-                        dtype=dt, name=f"cv_conv{si}_1")(x)
-            x = lrelu(x)
-            if si < 3:
-                x = nn.avg_pool(x, (2, 2), strides=(2, 2), padding="VALID")
-            else:
-                x = jnp.mean(x, axis=(1, 2), keepdims=True)  # global avg pool
-        x = nn.Conv(f // 16, (1, 1), kernel_init=torch_kernel_init,
-                    dtype=dt, name="cv_head_0")(x)
-        x = lrelu(x)
-        x = nn.Conv(1, (1, 1), kernel_init=torch_kernel_init,
-                    dtype=dt, name="cv_head_1")(x)
-        logits = x.reshape(b, n_pose).astype(jnp.float32)
+            x = head1(x)
+            return x.reshape(b, n_p).astype(jnp.float32)
+
+        # Hypothesis-chunked eval (Config.cost_volume_eval_chunk): the
+        # full [B, P, H, W, 2F+2] volume never materialises — exact at
+        # eval because BatchNorm reads running stats there. Training keeps
+        # the single-shot volume (BN batch statistics span all P) with
+        # cost_volume_remat as its memory lever.
+        ec = cfg.cost_volume_eval_chunk
+        if (not train) and ec and ec < n_pose and n_pose % ec == 0:
+            logits = jnp.concatenate(
+                [score(poses[:, i * ec:(i + 1) * ec])
+                 for i in range(n_pose // ec)], axis=1)
+        else:
+            logits = score(poses)
 
         out = {"cost_volume_logits": logits,
                "warp_dropped_points": warp_dropped}

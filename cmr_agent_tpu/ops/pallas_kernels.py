@@ -1573,7 +1573,7 @@ def _project_raster_kernel(cnt_ref, ab_ref, pcT_ref, feat_ref, out_ref, *,
             [data, jnp.ones((tile, 1), data.dtype)], axis=1)  # count col
         seg = jax.lax.broadcasted_iota(jnp.int32, (tile, m_pad), 1)
         onehotT = (seg == pix.reshape(tile, 1)).astype(data.dtype)
-        out_ref[0] += _contractT(data, onehotT)
+        out_ref[0] += _contractT(data, onehotT, preferred=out_ref.dtype)
 
 
 def segment_mean_count_image_project_fused(pcT, feat, ab, counts,
@@ -1598,7 +1598,18 @@ def segment_mean_count_image_project_fused(pcT, feat, ab, counts,
     assert ab.shape == (b, 12), ab.shape
     if k % tile != 0:
         raise ValueError(f"K={k} must be a multiple of tile={tile}")
-    if compute_dtype is not None:
+    dequant_scale = None
+    if compute_dtype is not None and jnp.dtype(compute_dtype) == jnp.int8:
+        # int8 one-hot matmul at the 2x MXU rate with EXACT int32
+        # accumulation (same scheme as _segment_sum_image_impl): the only
+        # error is one per-(sample, channel) symmetric absmax input
+        # quantisation; the appended count column stays exact integers.
+        absmax = jnp.max(jnp.abs(feat.astype(jnp.float32)), axis=1)  # [B,F]
+        scale = jnp.maximum(absmax, 1e-12) / 127.0
+        q = jnp.round(feat.astype(jnp.float32) / scale[:, None, :])
+        feat = jnp.clip(q, -127, 127).astype(jnp.int8)
+        dequant_scale = scale
+    elif compute_dtype is not None:
         feat = feat.astype(compute_dtype)
     m = h * w
     m_pad = _round_up(m, 128)
@@ -1614,12 +1625,17 @@ def segment_mean_count_image_project_fused(pcT, feat, ab, counts,
         out_specs=pl.BlockSpec((1, f + 1, m_pad),
                                lambda bb, tt, *_: (bb, 0, 0)),
     )
+    acc_dtype = jnp.int32 if dequant_scale is not None else jnp.float32
     out = pl.pallas_call(
         functools.partial(_project_raster_kernel, h=h, w=w, tile=tile),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, f + 1, m_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, f + 1, m_pad), acc_dtype),
         interpret=interpret,
     )(counts.astype(jnp.int32), ab.astype(jnp.float32), pcT, feat)
+    if dequant_scale is not None:
+        s = jnp.concatenate(
+            [dequant_scale, jnp.ones((b, 1), dequant_scale.dtype)], axis=1)
+        out = out.astype(jnp.float32) * s[:, :, None]
     out = jnp.swapaxes(out, 1, 2)[:, :m]
     sums, cnt = out[..., :f], out[..., f]
     return sums / jnp.maximum(cnt, 1.0)[..., None], cnt

@@ -163,7 +163,9 @@ def main(argv=None):
 
     if args.full:
         from ..config import kitti_config
-        jax.config.update("jax_compilation_cache_dir", "/tmp/cmr_jax_cache")
+        from cmr_agent_tpu.cli.common import host_feature_cache_dir
+        jax.config.update("jax_compilation_cache_dir",
+                          host_feature_cache_dir("/tmp/cmr_jax_cache"))
         cfg = kitti_config(compute_dtype="bfloat16",
                            train_batch_size=args.batch_size)
     else:

@@ -147,7 +147,9 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=30)
     args = p.parse_args(argv)
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/cmr_jax_cache")
+    from cmr_agent_tpu.cli.common import host_feature_cache_dir
+    jax.config.update("jax_compilation_cache_dir",
+                      host_feature_cache_dir("/tmp/cmr_jax_cache"))
     x, fns = build_fns(args.batch, args.n, args.f, args.layers)
     dev = jax.devices()[0]
     log(f"device: {dev.device_kind!r}; x {x.shape} {x.dtype}; "

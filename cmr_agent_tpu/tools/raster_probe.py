@@ -85,7 +85,9 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=50)
     args = p.parse_args(argv)
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/cmr_jax_cache")
+    from cmr_agent_tpu.cli.common import host_feature_cache_dir
+    jax.config.update("jax_compilation_cache_dir",
+                      host_feature_cache_dir("/tmp/cmr_jax_cache"))
     rng = np.random.default_rng(0)
     m = args.h * args.w
     n_valid = int(args.n * args.valid_frac)

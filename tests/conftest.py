@@ -28,9 +28,12 @@ jax.config.update("jax_enable_x64", False)
 # host — the suite is compile-bound, not compute-bound). The non-default
 # min_entry_size=-1 is required: CPU executables are small and the default
 # size floor silently drops them all.
+from cmr_agent_tpu.cli.common import host_feature_cache_dir  # noqa: E402
+
 jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("CMR_TEST_COMPILE_CACHE",
-                                 "/tmp/cmr_jax_test_cache"))
+                  host_feature_cache_dir(
+                      os.environ.get("CMR_TEST_COMPILE_CACHE",
+                                     "/tmp/cmr_jax_test_cache")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

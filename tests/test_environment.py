@@ -871,6 +871,59 @@ def test_mega_raster_matches_composable():
                                rtol=2e-2, atol=2e-2)
 
 
+def test_mega_raster_int8_and_tile_fallback():
+    """Round-5 additions to the mega raster: (a) int8 runs INSIDE the
+    fused kernel (per-(sample, channel) absmax quantisation, exact int32
+    count accumulation) within the one-input-quantisation error of the
+    exact raster; (b) a compaction K that is not a multiple of the 512
+    tile silently takes the composable pre-compacted path instead of
+    raising at trace time (ADVICE r4 medium: raster_topk is a tunable)."""
+    from cmr_agent_tpu.env.environment import compact_observation_state
+    rng = np.random.default_rng(32)
+    B, N, F, h, w = 2, 2048, 8, 6, 10
+    K = np.array([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]], np.float32)
+    overlap = rng.random((B, N)) < 0.25
+    state = {
+        "pc": jnp.array(rng.normal(size=(B, N, 3)) * 2
+                        + np.array([0, 0, 6]), jnp.float32),
+        "K": jnp.array(np.tile(K, (B, 1, 1))),
+        "pc_overlap_pred": jnp.array(overlap),
+        "pc_geo_feat": jnp.array(rng.normal(size=(B, N, F)), jnp.float32),
+        "img_geo_feat": jnp.array(rng.normal(size=(B, h, w, F)),
+                                  jnp.float32),
+    }
+    pose = jnp.array(np.tile(np.eye(4, dtype=np.float32), (B, 1, 1)))
+    pose = pose.at[:, 0, 3].set(0.5)
+
+    compact = compact_observation_state(state, 1024)
+    exact2d, _ = observation_from_pose(compact, pose, h, w)
+    q2d, _ = observation_from_pose(compact, pose, h, w,
+                                   raster_dtype=jnp.int8,
+                                   raster_mode="mega",
+                                   raster_interpret=True)
+    # error bound: one symmetric absmax quantisation of the features
+    # (<= absmax/254 per element, means are convex combinations)
+    bound = np.abs(np.asarray(compact["raster_feat"])).max() / 254 + 1e-6
+    np.testing.assert_allclose(np.asarray(q2d), np.asarray(exact2d),
+                               atol=float(bound))
+    # counts stay exact: pixels with no point (exact raster all-zero
+    # across channels) are exactly zero in int8 too (a small NONZERO
+    # feature may still quantise to zero, so only this direction holds)
+    raster = np.asarray(q2d)[..., F:]
+    want_raster = np.asarray(exact2d)[..., F:]
+    empty = (want_raster == 0.0).all(axis=-1)
+    np.testing.assert_array_equal(raster[empty], 0.0)
+
+    # K=1000 is not 512-divisible: mega must fall back, not raise
+    odd = compact_observation_state(state, 1000)
+    wf2d, wf3d = observation_from_pose(odd, pose, h, w)
+    gf2d, gf3d = observation_from_pose(odd, pose, h, w,
+                                       raster_mode="mega",
+                                       raster_interpret=True)
+    np.testing.assert_allclose(np.asarray(gf2d), np.asarray(wf2d))
+    np.testing.assert_allclose(np.asarray(gf3d), np.asarray(wf3d))
+
+
 def test_expert_and_step_6dof():
     """is_6_DoF branch: 3 rotation + 3 translation actions
     (reference environment.py:172-175,189-194)."""

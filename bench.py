@@ -260,6 +260,8 @@ def main():
         overrides["raster_mode"] = os.environ["CMR_BENCH_RASTER_MODE"]
     if os.environ.get("CMR_BENCH_RASTER_INT8") == "1":
         overrides["raster_int8"] = True
+    if os.environ.get("CMR_BENCH_OBS3D") :      # A/B hook: "compact"
+        overrides["obs3d_source"] = os.environ["CMR_BENCH_OBS3D"]
     cfg = kitti_config(compute_dtype=dtype, **overrides)
 
     baseline = load_cached()
@@ -339,6 +341,7 @@ def main():
     # the artifact must prove WHICH config it measured (VERDICT r4 #7)
     extra["config"] = {"raster_mode": cfg.raster_mode,
                        "raster_int8": cfg.raster_int8,
+                       "obs3d_source": cfg.obs3d_source,
                        "compute_dtype": cfg.compute_dtype}
     if rates:
         extra["block_pairs_per_sec"] = [round(float(r), 3) for r in rates]

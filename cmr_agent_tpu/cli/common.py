@@ -55,6 +55,19 @@ def add_common_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="compute dtype override (Config.compute_dtype); "
                         "bfloat16 is the measured TPU operating point "
                         "(README perf table)")
+    p.add_argument("--raster-mode", default=None,
+                   choices=["topk", "compact", "flat", "pack", "mega",
+                            "megatopk"],
+                   help="episode raster strategy override "
+                        "(Config.raster_mode; A/B hook)")
+    p.add_argument("--raster-int8", action="store_true",
+                   help="int8 observation raster (Config.raster_int8; "
+                        "accuracy A/B hook — one input quantisation)")
+    p.add_argument("--obs3d-compact", action="store_true",
+                   help="eval-episode 3-D observation over the compacted "
+                        "top-K set (Config.obs3d_source='compact'; "
+                        "accuracy A/B hook — halves the agent's point "
+                        "stacks)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax NaN debugging (fails fast on any NaN)")
     p.add_argument("--stop-file", default="",
@@ -212,6 +225,12 @@ def apply_obs_overrides(cfg: Config, args) -> Config:
         over["embed_dim"] = args.embed_dim
     if getattr(args, "mlp_dim", 0):
         over["mlp_dim"] = args.mlp_dim
+    if getattr(args, "raster_mode", None):
+        over["raster_mode"] = args.raster_mode
+    if getattr(args, "raster_int8", False):
+        over["raster_int8"] = True
+    if getattr(args, "obs3d_compact", False):
+        over["obs3d_source"] = "compact"
     return dataclasses.replace(cfg, **over) if over else cfg
 
 

@@ -195,6 +195,18 @@ class Config:
     # (~0.4% relative on the pooled features). bf16 stays the default:
     # flip only with an accuracy A/B on the target protocol.
     raster_int8: bool = False
+    # 3-D observation source for EVAL episodes: "full" feeds the agent's
+    # point branch the whole [B, num_pt, C] cloud (reference semantics,
+    # CMRAgent.py:92-101); "compact" feeds it the episode's score-ranked
+    # top-K raster compaction instead — all predicted-overlap points first
+    # (so the overlap/bearing statistics are EXACT whenever the overlap
+    # count <= raster_topk), then the highest in-cam-score remainder. The
+    # agent's [B, N, .] point stacks are the single largest per-step HBM
+    # cost (docs/DESIGN.md ~27 ms of the 52 ms iteration); K=num_pt/2
+    # halves them and drops the full-cloud projection chain. Accuracy-
+    # changing (the max-pool sees a subset): opt-in pending a convergence
+    # A/B on the flagship protocol. Training episodes always use "full".
+    obs3d_source: str = "full"
     # Pose-aware 3-D observation: feed the agent's point branch the cloud
     # TRANSFORMED by the current pose estimate instead of the reference's
     # static cloud (environment.py:125). With the static cloud, pose

@@ -387,7 +387,8 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int,
                           bearing_channels: bool = False,
                           raster_mode: str = "topk",
                           obs3d_layout: str = "nc",
-                          raster_interpret: bool = False):
+                          raster_interpret: bool = False,
+                          obs3d_compact: bool = False):
     """Render the 2-D and 3-D observations under the current pose estimate.
 
     Args:
@@ -426,7 +427,8 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int,
     if obs3d_layout == "cn":
         return _observation_from_pose_cn(
             feats, R, t, image_h, image_w, use_pallas, raster_dtype,
-            pose_aware, bearing_channels, raster_mode, raster_interpret)
+            pose_aware, bearing_channels, raster_mode, raster_interpret,
+            obs3d_compact)
 
     def project(points):
         moved = transform_points_disentangled(points, R, t)
@@ -478,11 +480,21 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int,
 
     observation_2d = jnp.concatenate([feats["img_geo_feat"], proj_feat],
                                      axis=-1)
-    obs_pc = moved_full if pose_aware else pc
-    channels = [obs_pc, overlap[..., None].astype(pc.dtype),
+    if obs3d_compact and "raster_pc" in feats:
+        # 3-D observation over the COMPACTED set (Config.obs3d_source
+        # ="compact", see the cn-path comment): the full-cloud projection
+        # above becomes dead code and is DCE'd by XLA.
+        src_pc = feats["raster_pc"]
+        obs_overlap = feats["raster_valid"]
+        moved_full, _, in_cam = project(src_pc)
+    else:
+        src_pc = pc
+        obs_overlap = overlap
+    obs_pc = moved_full if pose_aware else src_pc
+    channels = [obs_pc, obs_overlap[..., None].astype(pc.dtype),
                 in_cam[..., None].astype(pc.dtype)]
     if bearing_channels:
-        w = overlap.astype(pc.dtype)[..., None]              # [B,N,1]
+        w = obs_overlap.astype(pc.dtype)[..., None]          # [B,N,1]
         denom = jnp.maximum(w.sum(axis=1), 1.0)              # [B,1]
         cxz = (moved_full[..., (0, 2)] * w).sum(axis=1) / denom   # [B,2]
         unit = cxz / (jnp.linalg.norm(cxz, axis=-1, keepdims=True) + 1e-6)
@@ -495,7 +507,8 @@ def observation_from_pose(feats, pose, image_h: int, image_w: int,
 
 def _observation_from_pose_cn(feats, R, t, image_h, image_w, use_pallas,
                               raster_dtype, pose_aware, bearing_channels,
-                              raster_mode, raster_interpret=False):
+                              raster_mode, raster_interpret=False,
+                              obs3d_compact: bool = False):
     """Channel-major observation: every per-step intermediate is [B, C, N].
 
     Same math as the row-major body; the point axis rides the LANES so no
@@ -559,17 +572,36 @@ def _observation_from_pose_cn(feats, R, t, image_h, image_w, use_pallas,
 
     observation_2d = jnp.concatenate([feats["img_geo_feat"], proj_feat],
                                      axis=-1)
-    obs_pcT = movedT if pose_aware else pcT
-    channels = [obs_pcT.astype(dt_), overlap[:, None, :].astype(dt_),
+    if obs3d_compact and "raster_pc" in feats:
+        # 3-D observation over the COMPACTED set (Config.obs3d_source
+        # ="compact"): the score-ranked top-K points (all predicted-overlap
+        # points first, then the nearest-to-frustum remainder). The full
+        # [B, 3, N] projection chain and the agent's [B, N, .] point
+        # stacks — the single largest per-step HBM cost (docs/DESIGN.md)
+        # — shrink to K rows; the full-cloud chain above becomes dead code
+        # and is DCE'd by XLA. Accuracy-changing (the PointNet max-pools
+        # a subset): opt-in pending a convergence A/B.
+        src_pcT = feats.get("raster_pcT")
+        if src_pcT is None:
+            src_pcT = jnp.swapaxes(feats["raster_pc"], 1, 2)
+        src_pcT = src_pcT.astype(jnp.float32)
+        obs_overlap = feats["raster_valid"]
+        movedT, _, in_cam = projectT(src_pcT)
+    else:
+        src_pcT = pcT
+        obs_overlap = overlap
+    obs_pcT = movedT if pose_aware else src_pcT
+    channels = [obs_pcT.astype(dt_), obs_overlap[:, None, :].astype(dt_),
                 in_cam[:, None, :].astype(dt_)]
     if bearing_channels:
-        w_row = overlap.astype(jnp.float32)[:, None, :]       # [B, 1, N]
+        w_row = obs_overlap.astype(jnp.float32)[:, None, :]   # [B, 1, N]
         denom = jnp.maximum(w_row.sum(axis=2), 1.0)           # [B, 1]
         cxz = (movedT[:, (0, 2), :] * w_row).sum(axis=2) / denom  # [B, 2]
         unit = cxz / (jnp.linalg.norm(cxz, axis=-1, keepdims=True) + 1e-6)
         channels.append(jnp.broadcast_to(
-            unit[:, :, None], (pcT.shape[0], 2, pcT.shape[2])).astype(dt_))
-    observation_3d = jnp.concatenate(channels, axis=1)        # [B, C, N]
+            unit[:, :, None],
+            (src_pcT.shape[0], 2, src_pcT.shape[2])).astype(dt_))
+    observation_3d = jnp.concatenate(channels, axis=1)        # [B, C, N|K]
     return observation_2d, observation_3d
 
 

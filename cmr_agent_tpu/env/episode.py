@@ -158,7 +158,12 @@ def run_episode(
                                     and collect_trajectory)
                          else "mega" if cfg.raster_mode == "megatopk"
                          else cfg.raster_mode),
-            obs3d_layout=obs3d_layout)
+            obs3d_layout=obs3d_layout,
+            # compacted 3-D observation: eval-only (training trajectories
+            # keep the reference's full-cloud layout for BC/PPO parity)
+            obs3d_compact=(cfg.obs3d_source == "compact"
+                           and not collect_trajectory
+                           and raster_topk is not None))
         r_logits, t_logits, value = agent_apply(agent_vars, obs2d, obs3d)
 
         new_key, sub = jax.random.split(carry.key)

@@ -924,6 +924,70 @@ def test_mega_raster_int8_and_tile_fallback():
     np.testing.assert_allclose(np.asarray(gf3d), np.asarray(wf3d))
 
 
+def test_obs3d_compact_semantics():
+    """obs3d_compact (Config.obs3d_source="compact"): the 3-D observation
+    shrinks to the compacted K rows; valid rows are exactly the overlap
+    subset of the full observation (same moved positions / flags, topk
+    order) and the bearing channels are EXACT vs full-cloud whenever
+    dropped == 0 (the compaction keeps every overlap point)."""
+    from cmr_agent_tpu.env.environment import compact_observation_state
+    rng = np.random.default_rng(33)
+    B, N, F, h, w = 2, 1024, 4, 6, 10
+    Kc = np.array([[w, 0, w / 2], [0, w, h / 2], [0, 0, 1]], np.float32)
+    overlap = rng.random((B, N)) < 0.3
+    state = {
+        "pc": jnp.array(rng.normal(size=(B, N, 3)) * 2
+                        + np.array([0, 0, 6]), jnp.float32),
+        "K": jnp.array(np.tile(Kc, (B, 1, 1))),
+        "pc_overlap_pred": jnp.array(overlap),
+        "pc_is_in_cam_scores": jnp.array(rng.uniform(size=(B, N)),
+                                         jnp.float32),
+        "pc_geo_feat": jnp.array(rng.normal(size=(B, N, F)), jnp.float32),
+        "img_geo_feat": jnp.array(rng.normal(size=(B, h, w, F)),
+                                  jnp.float32),
+    }
+    pose = jnp.array(np.tile(np.eye(4, dtype=np.float32), (B, 1, 1)))
+    pose = pose.at[:, 0, 3].set(0.4)
+    k = 512
+    assert int(overlap.sum(1).max()) <= k
+    compact = compact_observation_state(state, k)
+
+    o2_full, o3_full = observation_from_pose(
+        compact, pose, h, w, pose_aware=True, bearing_channels=True)
+    o2_c, o3_c = observation_from_pose(
+        compact, pose, h, w, pose_aware=True, bearing_channels=True,
+        obs3d_compact=True)
+    # 2-D observation identical; 3-D shrinks to K rows
+    np.testing.assert_allclose(np.asarray(o2_c), np.asarray(o2_full))
+    assert o3_c.shape == (B, k, 7) and o3_full.shape == (B, N, 7)
+    # bearing channels exact (dropped == 0 -> same overlap centroid)
+    np.testing.assert_allclose(np.asarray(o3_c[..., 5:]),
+                               np.asarray(o3_full[:, :1, 5:]
+                                          * np.ones((1, k, 1))), atol=1e-6)
+    # valid rows of the compacted obs == the overlap subset of the full
+    # obs: same moved positions and flags, matched per point
+    full = np.asarray(o3_full)
+    comp = np.asarray(o3_c)
+    for bi in range(B):
+        sel_full = full[bi][full[bi, :, 3] > 0.5]     # overlap rows
+        sel_comp = comp[bi][comp[bi, :, 3] > 0.5]
+        assert sel_full.shape == sel_comp.shape
+        order_f = np.lexsort(sel_full[:, :3].T)
+        order_c = np.lexsort(sel_comp[:, :3].T)
+        np.testing.assert_allclose(sel_comp[order_c], sel_full[order_f],
+                                   atol=1e-5)
+
+    # channel-major layout agrees with the row-major one
+    cn = dict(compact)
+    cn["pcT"] = jnp.swapaxes(cn["pc"], 1, 2)
+    _, o3_cn = observation_from_pose(
+        cn, pose, h, w, pose_aware=True, bearing_channels=True,
+        obs3d_layout="cn", obs3d_compact=True)
+    assert o3_cn.shape == (B, 7, k)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(o3_cn, 1, 2)),
+                               comp, atol=1e-5)
+
+
 def test_expert_and_step_6dof():
     """is_6_DoF branch: 3 rotation + 3 translation actions
     (reference environment.py:172-175,189-194)."""

@@ -174,10 +174,10 @@ class Config:
     #   "megatopk" (DEFAULT) — ranked topk compaction + the mega raster
     #     ("topk"'s exact drop semantics with the fused per-step cost).
     #     Same-session TPU A/B (round 4, B=8 bf16): 159.4 vs 157.3
-    #     pairs/s for "topk". The round-4 best (161.9) was "mega" (pack
-    #     compaction, index-drop semantics) + the int8 raster, measured
-    #     BEFORE the mega kernel briefly lost its int8 path to a bf16
-    #     downgrade; round 5 implements int8 inside the mega kernel
+    #     pairs/s for "topk". The round-4 best (161.9) was labelled
+    #     "mega"+int8 but the mega kernel silently downgraded int8 to
+    #     bf16 then, so it actually measures pack compaction + the bf16
+    #     mega raster. Round 5 implements int8 inside the mega kernel
     #     (segment_mean_count_image_project_fused), so
     #     "megatopk"+raster_int8 now combines exact drop semantics with
     #     the 2x-rate raster — quantisation is the only accuracy delta.

@@ -188,13 +188,18 @@ class Config:
     raster_mode: str = "megatopk"
     # Top-K for raster_mode="topk" (0 disables the compaction there).
     raster_topk: int = 20480
-    # int8 observation raster (opt-in): quantise the rasterised features
-    # per (sample, channel) symmetric absmax to int8 and run the one-hot
-    # matmul at the 2x int8 MXU rate with EXACT int32 accumulation —
-    # counts stay exact; the only error is the one input quantisation
-    # (~0.4% relative on the pooled features). bf16 stays the default:
-    # flip only with an accuracy A/B on the target protocol.
-    raster_int8: bool = False
+    # int8 observation raster (DEFAULT since round 5): quantise the
+    # rasterised features per (sample, channel) symmetric absmax to int8
+    # and run the one-hot matmul at the 2x int8 MXU rate with EXACT
+    # int32 accumulation — counts stay exact; the only error is the one
+    # input quantisation (~0.4% relative on the pooled features).
+    # Accuracy A/B (round 5, runs_r5 E3 vs E2): every trajectory on the
+    # 64-scene +-10 m/+-pi flagship protocol is BIT-IDENTICAL to bf16 —
+    # the discrete action argmaxes absorb the quantisation. Perf A/B
+    # (BENCH r5): 169.2 vs 165.7 pairs/s (+2.1%). Applies to EVAL
+    # episodes in bf16 compute only; training scans and f32 episodes
+    # ignore it (episode.py gating).
+    raster_int8: bool = True
     # 3-D observation source for EVAL episodes: "full" feeds the agent's
     # point branch the whole [B, num_pt, C] cloud (reference semantics,
     # CMRAgent.py:92-101); "compact" feeds it the episode's score-ranked

@@ -142,8 +142,16 @@ def run_episode(
 
         # bf16 episodes run the raster's one-hot matmul in bf16 too (f32
         # accumulation; the agent consumes the observation in bf16 anyway);
-        # cfg.raster_int8 upgrades it to the 2x-rate int8 MXU path.
-        raster_dtype = (jnp.int8 if cfg.raster_int8 else jnp.bfloat16
+        # cfg.raster_int8 upgrades it to the 2x-rate int8 MXU path —
+        # EVAL episodes only (the training scans keep the composable bf16
+        # raster whose VJP was never trained through a quantiser) and
+        # bf16 episodes only (int8 in an f32 episode would silently trade
+        # precision the caller asked for; the flag is a no-op there —
+        # ADVICE r4).
+        raster_dtype = (jnp.int8 if (cfg.raster_int8
+                                     and not collect_trajectory
+                                     and cfg.compute_dtype == "bfloat16")
+                        else jnp.bfloat16
                         if cfg.compute_dtype == "bfloat16" else None)
         obs2d, obs3d = observation_from_pose(
             state, pose, cfg.image_h, cfg.image_w,

@@ -75,11 +75,11 @@ def main(argv=None):
     # warmup/compile (donation: keep reassigning state)
     t0 = time.perf_counter()
     state, metrics = step(state, batch, rng)
-    jax.block_until_ready(metrics["loss"])
+    np.asarray(metrics["loss"])          # readback sync (see timed())
     log(f"compile+first step {time.perf_counter() - t0:.1f}s")
     for _ in range(3):
         state, metrics = step(state, batch, rng)
-    jax.block_until_ready(metrics["loss"])
+    np.asarray(metrics["loss"])
 
     results = {}
 
@@ -87,7 +87,11 @@ def main(argv=None):
         nonlocal state
         t0 = time.perf_counter()
         out = body()
-        jax.block_until_ready(out)
+        # device->host readback, NOT block_until_ready: on this runtime
+        # block_until_ready returns before execution completes (the
+        # round-4 probe numbers measured dispatch only — 13 ms/"step" for
+        # a 130 ms program). A scalar copy cannot lie.
+        np.asarray(out)
         ms = (time.perf_counter() - t0) * 1e3 / args.steps
         results[name] = round(ms, 2)
         log(f"{name:10s} {ms:8.2f} ms/step")

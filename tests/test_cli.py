@@ -283,10 +283,14 @@ def test_enable_compile_cache_policy(monkeypatch):
         monkeypatch.delenv("CMR_COMPILE_CACHE", raising=False)
         enable_compile_cache()
         assert jax.config.jax_compilation_cache_dir == prev
-        # CMR_COMPILE_CACHE wins over any existing setting
+        # CMR_COMPILE_CACHE wins over any existing setting — keyed by the
+        # host CPU-feature hash (round 5: a cached AOT executable from a
+        # different host must miss, not SIGILL)
+        from cmr_agent_tpu.cli.common import host_feature_cache_dir
         monkeypatch.setenv("CMR_COMPILE_CACHE", "/tmp/cmr_cache_override")
         enable_compile_cache()
-        assert jax.config.jax_compilation_cache_dir == "/tmp/cmr_cache_override"
+        assert (jax.config.jax_compilation_cache_dir
+                == host_feature_cache_dir("/tmp/cmr_cache_override"))
         # empty env var disables the override entirely
         jax.config.update("jax_compilation_cache_dir", prev)
         monkeypatch.setenv("CMR_COMPILE_CACHE", "")

@@ -236,7 +236,10 @@ def time_backend(device, cfg, batch_size: int, iters: int, warmup: int,
 
 
 def main():
-    budget = float(os.environ.get("CMR_BENCH_TOTAL_BUDGET", "460"))
+    # 800 s: a COLD compile of the episode program on the remote compile
+    # service measured >460 s once (round 5, first run after the int8
+    # default flip); warm-cache runs finish in ~55 s total.
+    budget = float(os.environ.get("CMR_BENCH_TOTAL_BUDGET", "800"))
     threading.Thread(target=_watchdog, args=(budget,), daemon=True).start()
 
     phase("import jax")
